@@ -1,0 +1,264 @@
+"""Inception-v1 Inflated 3D ConvNet (I3D), TPU-native Flax implementation.
+
+Architecture parity target: the reference's sonnet/TF1 model (i3d.py:32-479 in
+/root/reference): 5 conv/pool stem stages, 9 Inception "Mixed" blocks, a
+[2,7,7] VALID average pool, a 1x1x1 logits conv with bias, spatial squeeze and
+a mean over remaining time steps.  Endpoint names match the reference's
+VALID_ENDPOINTS (i3d.py:94-113) so converted checkpoints and endpoint-keyed
+tests line up 1:1.
+
+TPU-first choices:
+  * NDHWC layout ([B, T, H, W, C]) — channels-last puts C on the 128-wide
+    lanes; XLA maps the conv3d contractions onto the MXU directly.
+  * `padding='SAME'` on convs and pools — XLA's SAME semantics equal TF's
+    (the reference uses snt.SAME throughout), verified by golden tests
+    against tf.nn.conv3d / max_pool3d in tests/test_i3d.py.
+  * BatchNorm is inference-only with frozen moving statistics
+    (sonnet BatchNorm with test_local_stats=False, i3d.py:66-68): beta offset
+    only, no gamma scale, eps 1e-3 — matching sonnet v1 defaults.  The victim
+    is frozen for the attack, so no train-mode BN exists at all.
+  * compute dtype is configurable (bf16 activations on the MXU by default in
+    the engine; f32 in tests); parameters stay f32 and are cast on entry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+I3D_ENDPOINTS = (
+    "Conv3d_1a_7x7",
+    "MaxPool3d_2a_3x3",
+    "Conv3d_2b_1x1",
+    "Conv3d_2c_3x3",
+    "MaxPool3d_3a_3x3",
+    "Mixed_3b",
+    "Mixed_3c",
+    "MaxPool3d_4a_3x3",
+    "Mixed_4b",
+    "Mixed_4c",
+    "Mixed_4d",
+    "Mixed_4e",
+    "Mixed_4f",
+    "MaxPool3d_5a_2x2",
+    "Mixed_5b",
+    "Mixed_5c",
+    "Logits",
+    "Predictions",
+)
+
+# (branch0 1x1, branch1 1x1, branch1 3x3, branch2 1x1, branch2 3x3, branch3 1x1)
+_MIXED_CHANNELS: Dict[str, Tuple[int, int, int, int, int, int]] = {
+    "Mixed_3b": (64, 96, 128, 16, 32, 32),
+    "Mixed_3c": (128, 128, 192, 32, 96, 64),
+    "Mixed_4b": (192, 96, 208, 16, 48, 64),
+    "Mixed_4c": (160, 112, 224, 24, 64, 64),
+    "Mixed_4d": (128, 128, 256, 24, 64, 64),
+    "Mixed_4e": (112, 144, 288, 32, 64, 64),
+    "Mixed_4f": (256, 160, 320, 32, 128, 128),
+    "Mixed_5b": (256, 160, 320, 32, 128, 128),
+    "Mixed_5c": (384, 192, 384, 48, 128, 128),
+}
+
+# Reference quirk (i3d.py:418): Mixed_5b's second Branch_2 conv is named
+# 'Conv3d_0a_3x3' instead of 'Conv3d_0b_3x3'. Kept for checkpoint parity.
+_BRANCH2_SECOND_NAME = {"Mixed_5b": "Conv3d_0a_3x3"}
+
+
+class Unit3D(nn.Module):
+    """Conv3D + (inference) BatchNorm + activation (reference i3d.py:32-71)."""
+
+    output_channels: int
+    kernel_shape: Sequence[int] = (1, 1, 1)
+    stride: Sequence[int] = (1, 1, 1)
+    use_batch_norm: bool = True
+    use_bias: bool = False
+    use_activation: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(
+            features=self.output_channels,
+            kernel_size=tuple(self.kernel_shape),
+            strides=tuple(self.stride),
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="conv_3d",
+        )(x)
+        if self.use_batch_norm:
+            # Frozen inference BN: offset (beta) only, sonnet v1 eps.
+            x = nn.BatchNorm(
+                use_running_average=True,
+                use_scale=False,
+                use_bias=True,
+                epsilon=1e-3,
+                momentum=0.999,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="batch_norm",
+            )(x)
+        if self.use_activation:
+            x = nn.relu(x)
+        return x
+
+
+def _max_pool_same(
+    x: jax.Array, window: Sequence[int], strides: Sequence[int]
+) -> jax.Array:
+    """tf.nn.max_pool3d(..., padding='SAME') equivalent over NDHWC."""
+    return nn.max_pool(
+        x,
+        window_shape=tuple(window),
+        strides=tuple(strides),
+        padding="SAME",
+    )
+
+
+class InceptionMixed(nn.Module):
+    """One Inception block: 4 parallel branches, channel concat
+    (reference i3d.py:194-220 et seq.)."""
+
+    channels: Tuple[int, int, int, int, int, int]
+    branch2_second_name: str = "Conv3d_0b_3x3"
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c0, c1a, c1b, c2a, c2b, c3 = self.channels
+        dt = self.compute_dtype
+        b0 = Unit3D(c0, (1, 1, 1), compute_dtype=dt, name="Branch_0/Conv3d_0a_1x1")(x)
+        b1 = Unit3D(c1a, (1, 1, 1), compute_dtype=dt, name="Branch_1/Conv3d_0a_1x1")(x)
+        b1 = Unit3D(c1b, (3, 3, 3), compute_dtype=dt, name="Branch_1/Conv3d_0b_3x3")(b1)
+        b2 = Unit3D(c2a, (1, 1, 1), compute_dtype=dt, name="Branch_2/Conv3d_0a_1x1")(x)
+        b2 = Unit3D(
+            c2b, (3, 3, 3), compute_dtype=dt, name=f"Branch_2/{self.branch2_second_name}"
+        )(b2)
+        b3 = _max_pool_same(x, (3, 3, 3), (1, 1, 1))
+        b3 = Unit3D(c3, (1, 1, 1), compute_dtype=dt, name="Branch_3/Conv3d_0b_1x1")(b3)
+        return jnp.concatenate([b0, b1, b2, b3], axis=4)
+
+
+class InceptionI3D(nn.Module):
+    """Full I3D (reference i3d.py:74-479).
+
+    __call__(x) -> (averaged_logits, endpoints): x is [B, T, H, W, 3] in
+    [-1, 1]; averaged_logits is [B, num_classes].  `final_endpoint` truncates
+    construction exactly like the reference's flag.
+    """
+
+    num_classes: int = 400
+    spatial_squeeze: bool = True
+    final_endpoint: str = "Logits"
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        if self.final_endpoint not in I3D_ENDPOINTS:
+            raise ValueError(f"Unknown final endpoint {self.final_endpoint}")
+        dt = self.compute_dtype
+        x = x.astype(dt)
+        end_points: Dict[str, jax.Array] = {}
+
+        def done(name: str) -> bool:
+            end_points[name] = x
+            return self.final_endpoint == name
+
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), compute_dtype=dt, name="Conv3d_1a_7x7")(x)
+        if done("Conv3d_1a_7x7"):
+            return x, end_points
+        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        if done("MaxPool3d_2a_3x3"):
+            return x, end_points
+        x = Unit3D(64, (1, 1, 1), compute_dtype=dt, name="Conv3d_2b_1x1")(x)
+        if done("Conv3d_2b_1x1"):
+            return x, end_points
+        x = Unit3D(192, (3, 3, 3), compute_dtype=dt, name="Conv3d_2c_3x3")(x)
+        if done("Conv3d_2c_3x3"):
+            return x, end_points
+        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        if done("MaxPool3d_3a_3x3"):
+            return x, end_points
+
+        for name in ("Mixed_3b", "Mixed_3c"):
+            x = InceptionMixed(
+                _MIXED_CHANNELS[name],
+                branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
+                compute_dtype=dt,
+                name=name,
+            )(x)
+            if done(name):
+                return x, end_points
+
+        x = _max_pool_same(x, (3, 3, 3), (2, 2, 2))
+        if done("MaxPool3d_4a_3x3"):
+            return x, end_points
+
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = InceptionMixed(
+                _MIXED_CHANNELS[name],
+                branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
+                compute_dtype=dt,
+                name=name,
+            )(x)
+            if done(name):
+                return x, end_points
+
+        x = _max_pool_same(x, (2, 2, 2), (2, 2, 2))
+        if done("MaxPool3d_5a_2x2"):
+            return x, end_points
+
+        for name in ("Mixed_5b", "Mixed_5c"):
+            x = InceptionMixed(
+                _MIXED_CHANNELS[name],
+                branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
+                compute_dtype=dt,
+                name=name,
+            )(x)
+            if done(name):
+                return x, end_points
+
+        # Logits head (reference i3d.py:459-474): VALID avg pool [2,7,7],
+        # (dropout is identity at keep_prob=1 inference), 1x1x1 conv w/ bias,
+        # spatial squeeze, mean over time.
+        x = nn.avg_pool(x, window_shape=(2, 7, 7), strides=(1, 1, 1), padding="VALID")
+        logits = Unit3D(
+            self.num_classes,
+            (1, 1, 1),
+            use_batch_norm=False,
+            use_bias=True,
+            use_activation=False,
+            compute_dtype=dt,
+            name="Logits/Conv3d_0c_1x1",
+        )(x)
+        if self.spatial_squeeze:
+            logits = jnp.squeeze(logits, axis=(2, 3))
+        averaged_logits = jnp.mean(logits.astype(jnp.float32), axis=1)
+        end_points["Logits"] = averaged_logits
+        if self.final_endpoint == "Logits":
+            return averaged_logits, end_points
+
+        predictions = jax.nn.softmax(averaged_logits)
+        end_points["Predictions"] = predictions
+        return predictions, end_points
+
+
+def init_i3d_params(
+    key: jax.Array,
+    num_classes: int = 400,
+    frames: int = 16,
+    size: int = 224,
+    compute_dtype: Any = jnp.float32,
+) -> Dict[str, Any]:
+    """Random-init variables dict (params + batch_stats) for tests and for
+    shaping converted checkpoints."""
+    model = InceptionI3D(num_classes=num_classes, compute_dtype=compute_dtype)
+    dummy = jnp.zeros((1, frames, size, size, 3), jnp.float32)
+    return model.init(key, dummy)

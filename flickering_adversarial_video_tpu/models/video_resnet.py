@@ -1,0 +1,249 @@
+"""Video ResNet family (R3D-18, MC3-18, R(2+1)D-18), TPU-native Flax.
+
+Parity target: the torchvision `video_resnet` victims the reference loads via
+`getattr(torchvision.models.video, base_model)(True, True)`
+(utils_cv/action_recognition/model.py:402-441).  Architecture (public
+torchvision definition, Tran et al. 2018, arXiv:1711.11248):
+
+  * stem:
+      r3d/mc3:  Conv3d(3->64, k=(3,7,7), s=(1,2,2), p=(1,3,3)) + BN + ReLU
+      r2plus1d: Conv3d(3->45, k=(1,7,7), s=(1,2,2), p=(0,3,3)) + BN + ReLU
+                + Conv3d(45->64, k=(3,1,1), p=(1,0,0)) + BN + ReLU
+  * 4 stages of 2 BasicBlocks (64/128/256/512 channels; stages 2-4 stride 2),
+    each block conv-BN-ReLU-conv-BN + residual (1x1x1 conv-BN downsample);
+    conv type per variant:
+      r3d:      full 3x3x3
+      mc3:      3x3x3 in stage 1, (1,3,3) spatial-only in stages 2-4
+      r2plus1d: every 3x3x3 factored into (1,3,3) -> BN+ReLU -> (3,1,1) with
+                midplanes = floor(t*3*3*in*out / (3*3*in + t*out)), t=3
+  * global average pool over (T, H, W), then Linear(512 -> num_classes).
+
+TPU-first choices: NDHWC layout; *explicit symmetric padding numbers* (NOT
+'SAME') because torch's fixed symmetric padding differs from SAME semantics at
+stride 2 — parity is asserted against a torch oracle in
+tests/test_video_resnet.py; torch BN eps 1e-5 with affine scale+bias; compute
+dtype configurable (bf16 on MXU), params f32.
+
+Inputs are mean/std-normalized pixels in [B, T, H, W, 3]
+(utils_cv/action_recognition/dataset.py:28-29 Kinetics statistics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _bn(dt, name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=True,
+        use_scale=True,
+        use_bias=True,
+        epsilon=1e-5,
+        momentum=0.9,
+        dtype=dt,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def _conv(
+    features: int,
+    kernel: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dt,
+    name: str,
+) -> nn.Conv:
+    pad = [(p, p) for p in padding]
+    return nn.Conv(
+        features=features,
+        kernel_size=tuple(kernel),
+        strides=tuple(stride),
+        padding=pad,
+        use_bias=False,
+        dtype=dt,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def _midplanes(in_planes: int, out_planes: int) -> int:
+    return (in_planes * out_planes * 3 * 3 * 3) // (
+        in_planes * 3 * 3 + 3 * out_planes
+    )
+
+
+class Conv3DSimple(nn.Module):
+    """Full 3x3x3 conv (torchvision Conv3DSimple)."""
+
+    in_planes: int
+    out_planes: int
+    stride: int = 1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        return _conv(
+            self.out_planes, (3, 3, 3), (s, s, s), (1, 1, 1), self.compute_dtype, "conv"
+        )(x)
+
+
+class Conv3DNoTemporal(nn.Module):
+    """(1,3,3) spatial-only conv; temporal stride stays 1 (torchvision)."""
+
+    in_planes: int
+    out_planes: int
+    stride: int = 1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        return _conv(
+            self.out_planes, (1, 3, 3), (1, s, s), (0, 1, 1), self.compute_dtype, "conv"
+        )(x)
+
+
+class Conv2Plus1D(nn.Module):
+    """(1,3,3) -> BN -> ReLU -> (3,1,1) factorization (torchvision Conv2Plus1D)."""
+
+    in_planes: int
+    out_planes: int
+    stride: int = 1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        mid = _midplanes(self.in_planes, self.out_planes)
+        dt = self.compute_dtype
+        x = _conv(mid, (1, 3, 3), (1, s, s), (0, 1, 1), dt, "conv_s")(x)
+        x = _bn(dt, "bn_mid")(x)
+        x = nn.relu(x)
+        x = _conv(self.out_planes, (3, 1, 1), (s, 1, 1), (1, 0, 0), dt, "conv_t")(x)
+        return x
+
+
+_CONV_BUILDERS: Dict[str, Any] = {
+    "simple": Conv3DSimple,
+    "no_temporal": Conv3DNoTemporal,
+    "2plus1": Conv2Plus1D,
+}
+
+
+class BasicBlock(nn.Module):
+    """Residual BasicBlock (expansion 1)."""
+
+    in_planes: int
+    planes: int
+    conv_builder: str
+    stride: int = 1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.compute_dtype
+        builder = _CONV_BUILDERS[self.conv_builder]
+        residual = x
+        out = builder(self.in_planes, self.planes, self.stride, dt, name="conv1")(x)
+        out = _bn(dt, "bn1")(out)
+        out = nn.relu(out)
+        out = builder(self.planes, self.planes, 1, dt, name="conv2")(out)
+        out = _bn(dt, "bn2")(out)
+        if self.stride != 1 or self.in_planes != self.planes:
+            s = self.stride
+            ts = 1 if self.conv_builder == "no_temporal" else s
+            residual = _conv(
+                self.planes, (1, 1, 1), (ts, s, s), (0, 0, 0), dt, "downsample_conv"
+            )(x)
+            residual = _bn(dt, "downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class R3DStem(nn.Module):
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.compute_dtype
+        x = _conv(64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dt, "conv")(x)
+        x = _bn(dt, "bn")(x)
+        return nn.relu(x)
+
+
+class R2Plus1DStem(nn.Module):
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.compute_dtype
+        x = _conv(45, (1, 7, 7), (1, 2, 2), (0, 3, 3), dt, "conv_s")(x)
+        x = _bn(dt, "bn_s")(x)
+        x = nn.relu(x)
+        x = _conv(64, (3, 1, 1), (1, 1, 1), (1, 0, 0), dt, "conv_t")(x)
+        x = _bn(dt, "bn_t")(x)
+        return nn.relu(x)
+
+
+class VideoResNet(nn.Module):
+    """Generic 18-layer video ResNet.
+
+    `variant` in {'r3d_18', 'mc3_18', 'r2plus1d_18'}; __call__ takes
+    [B, T, H, W, 3] normalized input, returns [B, num_classes] logits.
+    """
+
+    variant: str = "r3d_18"
+    num_classes: int = 400
+    compute_dtype: Any = jnp.float32
+
+    def _stage_convs(self) -> Tuple[str, str, str, str]:
+        if self.variant == "r3d_18":
+            return ("simple",) * 4
+        if self.variant == "mc3_18":
+            return ("simple", "no_temporal", "no_temporal", "no_temporal")
+        if self.variant == "r2plus1d_18":
+            return ("2plus1",) * 4
+        raise ValueError(f"unknown variant {self.variant}")
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = self.compute_dtype
+        x = x.astype(dt)
+        if self.variant == "r2plus1d_18":
+            x = R2Plus1DStem(dt, name="stem")(x)
+        else:
+            x = R3DStem(dt, name="stem")(x)
+
+        convs = self._stage_convs()
+        planes = (64, 128, 256, 512)
+        in_planes = 64
+        for i, (p, conv) in enumerate(zip(planes, convs), start=1):
+            stride = 1 if i == 1 else 2
+            x = BasicBlock(
+                in_planes, p, conv, stride, dt, name=f"layer{i}/block0"
+            )(x)
+            x = BasicBlock(p, p, conv, 1, dt, name=f"layer{i}/block1")(x)
+            in_planes = p
+
+        x = jnp.mean(x, axis=(1, 2, 3))  # global avgpool over T,H,W
+        x = nn.Dense(
+            self.num_classes, dtype=dt, param_dtype=jnp.float32, name="fc"
+        )(x)
+        return x.astype(jnp.float32)
+
+
+def r3d_18(num_classes: int = 400, compute_dtype: Any = jnp.float32) -> VideoResNet:
+    return VideoResNet("r3d_18", num_classes, compute_dtype)
+
+
+def mc3_18(num_classes: int = 400, compute_dtype: Any = jnp.float32) -> VideoResNet:
+    return VideoResNet("mc3_18", num_classes, compute_dtype)
+
+
+def r2plus1d_18(num_classes: int = 400, compute_dtype: Any = jnp.float32) -> VideoResNet:
+    return VideoResNet("r2plus1d_18", num_classes, compute_dtype)
