@@ -82,6 +82,7 @@ class Conv3DSimple(nn.Module):
 
     in_planes: int
     out_planes: int
+    mid_planes: int = 0  # unused; uniform builder signature
     stride: int = 1
     compute_dtype: Any = jnp.float32
 
@@ -98,6 +99,7 @@ class Conv3DNoTemporal(nn.Module):
 
     in_planes: int
     out_planes: int
+    mid_planes: int = 0  # unused; uniform builder signature
     stride: int = 1
     compute_dtype: Any = jnp.float32
 
@@ -110,19 +112,23 @@ class Conv3DNoTemporal(nn.Module):
 
 
 class Conv2Plus1D(nn.Module):
-    """(1,3,3) -> BN -> ReLU -> (3,1,1) factorization (torchvision Conv2Plus1D)."""
+    """(1,3,3) -> BN -> ReLU -> (3,1,1) factorization (torchvision Conv2Plus1D).
+
+    mid_planes is computed ONCE per BasicBlock from (block in, block out) and
+    shared by both of the block's convs, matching torchvision exactly.
+    """
 
     in_planes: int
     out_planes: int
+    mid_planes: int
     stride: int = 1
     compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         s = self.stride
-        mid = _midplanes(self.in_planes, self.out_planes)
         dt = self.compute_dtype
-        x = _conv(mid, (1, 3, 3), (1, s, s), (0, 1, 1), dt, "conv_s")(x)
+        x = _conv(self.mid_planes, (1, 3, 3), (1, s, s), (0, 1, 1), dt, "conv_s")(x)
         x = _bn(dt, "bn_mid")(x)
         x = nn.relu(x)
         x = _conv(self.out_planes, (3, 1, 1), (s, 1, 1), (1, 0, 0), dt, "conv_t")(x)
@@ -149,11 +155,12 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         dt = self.compute_dtype
         builder = _CONV_BUILDERS[self.conv_builder]
+        mid = _midplanes(self.in_planes, self.planes)
         residual = x
-        out = builder(self.in_planes, self.planes, self.stride, dt, name="conv1")(x)
+        out = builder(self.in_planes, self.planes, mid, self.stride, dt, name="conv1")(x)
         out = _bn(dt, "bn1")(out)
         out = nn.relu(out)
-        out = builder(self.planes, self.planes, 1, dt, name="conv2")(out)
+        out = builder(self.planes, self.planes, mid, 1, dt, name="conv2")(out)
         out = _bn(dt, "bn2")(out)
         if self.stride != 1 or self.in_planes != self.planes:
             s = self.stride
