@@ -105,10 +105,12 @@ class TorchStyleFlickerSpec:
         reduction: max_value = min_c (1-mean_c)/std_c, min_value =
         max_c (0-mean_c)/std_c.
         """
-        mean = jnp.asarray(self.mean)
-        std = jnp.asarray(self.std)
-        max_value = jnp.min((1.0 - mean) / std)
-        min_value = jnp.max((0.0 - mean) / std)
+        import numpy as np
+
+        mean = np.asarray(self.mean)
+        std = np.asarray(self.std)
+        max_value = np.min((1.0 - mean) / std)
+        min_value = np.max((0.0 - mean) / std)
         return float(min_value), float(max_value)
 
 

@@ -1,0 +1,339 @@
+"""The fused attack step — one XLA program per optimizer step.
+
+Where the reference spends 2-4 sess.run round-trips per logged step (train_op,
+softmax refetch, clean-logits refetch; i3d_adversarial_main_single_video_npy.py
+:213-308) and re-feeds the clip host->device every time, here preprocessing
+(uint8 -> f32 normalize), perturbation application, the victim forward, the
+loss, the backward over delta only, the Adam update and every logged metric
+compile into a single jitted function.  The batch arrives as uint8 (4x less
+HBM/PCIe traffic than f32) and is normalized on device.
+
+Parallelism: the step is jitted with a data-sharded batch and replicated
+(delta, opt_state); XLA emits the cross-replica psum for d(loss)/d(delta)
+over ICI on its own (see parallel/mesh.py).  delta and opt_state buffers are
+donated, so the update is in-place in HBM.
+
+Runtime flags mirror the reference's tf.placeholder_with_default ergonomics
+(kinetics_i3d_utils.py:90-133, single_video_npy.py:44-80): adv/cyclic flags,
+the four betas, the learning rate and the torch-world max_norm are *traced
+scalars* — hot-swappable per step with zero recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..attack import losses as losses_lib
+from ..attack import metrics as metrics_lib
+from ..attack import perturbation as pert_lib
+from ..attack import regularizers as reg_lib
+from ..parallel import mesh as mesh_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class AttackConfig:
+    """Static attack configuration (changing these recompiles the step)."""
+
+    improve_loss: bool = True          # IMPROVE_ADV_LOSS
+    margin: float = 0.05               # PROB_MARGIN
+    targeted: bool = False             # TARGETED_ATTACK
+    use_logits: bool = False           # USE_LOGITS
+    attack_kind: str = "flickering"    # 'flickering' | 'sparse' (L1,2)
+    norm_world: str = "tanh"           # 'tanh' (x/128-1) | 'meanstd'
+    reg_weighting: str = "tf"          # 'tf' (b1,b2,b3) | 'torch' (b1,1-b1)
+    learning_rate: float = 1e-3
+    exclude_misclassify: bool = True
+    target_class: Optional[int] = None
+    # TF world regularizes/measures the raw eps variable
+    # (kinetics_i3d_utils.py:172-195); torch world the clamped one
+    # (model.py:88,1078). None -> derived from norm_world.
+    reg_on_clipped: Optional[bool] = None
+
+    @property
+    def regularize_clipped(self) -> bool:
+        if self.reg_on_clipped is not None:
+            return self.reg_on_clipped
+        return self.norm_world == "meanstd"
+
+
+class RuntimeFlags(flax.struct.PyTreeNode):
+    """Per-step scalars (the placeholder_with_default equivalents)."""
+
+    adv_flag: jax.Array | float = 1.0
+    cyclic_flag: jax.Array | float = 0.0
+    cyclic_pert_flag: jax.Array | float = 0.0
+    beta0: jax.Array | float = 1.0     # LAMBDA
+    beta1: jax.Array | float = 0.5
+    beta2: jax.Array | float = 0.5
+    beta3: jax.Array | float = 0.5
+    learning_rate: jax.Array | float = 1e-3
+    max_norm: jax.Array | float = 1.0  # torch-world dynamic_max_norm
+
+
+class AttackState(flax.struct.PyTreeNode):
+    delta: jax.Array
+    opt_state: Any
+    step: jax.Array
+
+
+class AttackEngine:
+    """Builds and jits attack/eval steps for one (victim, spec, config) triple.
+
+    Args:
+      apply_fn: (variables, x) -> logits [B, K] (endpoint dicts are sliced off
+        for I3D).
+      variables: frozen victim variables ({'params', 'batch_stats'}).
+      spec: a perturbation spec from attack/perturbation.py.
+      config: AttackConfig.
+      mesh: optional jax.sharding.Mesh; default single-device (no sharding).
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable[[Any, jax.Array], jax.Array],
+        variables: Any,
+        spec,
+        config: AttackConfig,
+        mesh=None,
+        track_probs: bool = True,
+    ):
+        self.apply_fn = apply_fn
+        self.variables = variables
+        self.spec = spec
+        self.config = config
+        self.mesh = mesh
+        self.track_probs = track_probs
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=config.learning_rate
+        )
+
+        # Sharding flows in through the argument placements: init_state puts
+        # state replicated, shard() puts batches data-sharded; jit propagates.
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._forward = jax.jit(self._forward_impl, static_argnames=("adversarial",))
+
+    # ---------- state ----------
+
+    def init_state(self, key: Optional[jax.Array] = None) -> AttackState:
+        delta = pert_lib.init_delta(self.spec, key)
+        opt_state = self.optimizer.init(delta)
+        state = AttackState(delta=delta, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = jax.device_put(state, mesh_lib.replicated_sharding(self.mesh))
+        return state
+
+    def reset_delta(self, state: AttackState, key: Optional[jax.Array] = None) -> AttackState:
+        """Re-init delta and optimizer slots (per-video sweep, model.py:946-949)."""
+        fresh = self.init_state(key)
+        return state.replace(delta=fresh.delta, opt_state=fresh.opt_state, step=jnp.zeros((), jnp.int32))
+
+    # ---------- preprocessing ----------
+
+    def _normalize(self, video: jax.Array) -> jax.Array:
+        """On-device normalization, replicating the host-side math of the
+        reference: uint8/128-1 (pre_process_rgb_flow.py:231-235) or
+        uint8/255 -> (x-mean)/std (dataset.py NormalizeVideo)."""
+        if self.config.norm_world == "tanh":
+            if video.dtype == jnp.uint8:
+                return video.astype(jnp.float32) / 128.0 - 1.0
+            return video.astype(jnp.float32)
+        # meanstd world
+        x = video.astype(jnp.float32)
+        if video.dtype == jnp.uint8:
+            x = x / 255.0
+        mean = jnp.asarray(self.spec.mean, jnp.float32)
+        std = jnp.asarray(self.spec.std, jnp.float32)
+        return (x - mean) / std
+
+    def _apply_delta(
+        self, x: jax.Array, delta: jax.Array, flags: RuntimeFlags, key: Optional[jax.Array]
+    ) -> jax.Array:
+        if self.config.norm_world == "tanh":
+            return pert_lib.apply_perturbation(
+                x,
+                delta,
+                self.spec,
+                adv_flag=flags.adv_flag,
+                cyclic_flag=flags.cyclic_flag,
+                cyclic_pert_flag=flags.cyclic_pert_flag,
+                key=key,
+            )
+        return pert_lib.apply_perturbation_torch_style(
+            x,
+            delta,
+            self.spec,
+            adv_flag=flags.adv_flag,
+            max_norm=flags.max_norm,
+            cyclic_pert_flag=flags.cyclic_pert_flag,
+            key=key,
+        )
+
+    def _reg_delta(self, delta: jax.Array, flags: RuntimeFlags) -> jax.Array:
+        if not self.config.regularize_clipped:
+            return delta
+        if self.config.norm_world == "meanstd":
+            return jnp.clip(delta, -flags.max_norm, flags.max_norm)
+        return pert_lib.clip_delta(self.spec, delta)
+
+    # ---------- loss ----------
+
+    def _loss_terms(
+        self,
+        delta: jax.Array,
+        video: jax.Array,
+        labels: jax.Array,
+        flags: RuntimeFlags,
+        key: Optional[jax.Array],
+    ):
+        x = self._normalize(video)
+        adv = self._apply_delta(x, delta, flags, key)
+        logits = self.apply_fn(self.variables, adv)
+        adv_total, aux = losses_lib.adversarial_loss(
+            logits,
+            labels,
+            improve_loss=self.config.improve_loss,
+            margin=self.config.margin,
+            targeted=self.config.targeted,
+            use_logits=self.config.use_logits,
+        )
+        reg_delta = self._reg_delta(delta, flags)
+        norm_r = reg_lib.thinness_reg(reg_delta)
+        diff_r = reg_lib.first_order_diff_reg(reg_delta)
+        lap_r = reg_lib.second_order_diff_reg(reg_delta)
+        if self.config.attack_kind == "sparse":
+            reg = flags.beta1 * reg_lib.l12_regularizer(reg_delta)
+        elif self.config.reg_weighting == "torch":
+            reg = flags.beta1 * norm_r + (1.0 - flags.beta1) * (diff_r + lap_r)
+        else:
+            reg = flags.beta1 * norm_r + flags.beta2 * diff_r + flags.beta3 * lap_r
+        total = adv_total + flags.beta0 * reg
+        terms = {
+            "adv_loss": adv_total,
+            "reg_loss": reg,
+            "norm_reg": norm_r,
+            "diff_norm_reg": diff_r,
+            "laplacian_norm_reg": lap_r,
+            "prob_to_min": jnp.mean(aux["prob_to_min"]),
+            "prob_to_max": jnp.mean(aux["prob_to_max"]),
+            "probs": aux["probs"],
+        }
+        return total, terms
+
+    # ---------- steps ----------
+
+    def _train_step_impl(
+        self,
+        state: AttackState,
+        batch: Dict[str, jax.Array],
+        flags: RuntimeFlags,
+        key: jax.Array,
+    ) -> Tuple[AttackState, Dict[str, jax.Array]]:
+        def loss_fn(delta):
+            return self._loss_terms(delta, batch["video"], batch["labels"], flags, key)
+
+        (total, terms), grad = jax.value_and_grad(loss_fn, has_aux=True)(state.delta)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            flags.learning_rate, jnp.float32
+        )
+        updates, opt_state = self.optimizer.update(grad, opt_state, state.delta)
+        delta = optax.apply_updates(state.delta, updates)
+        new_state = AttackState(delta=delta, opt_state=opt_state, step=state.step + 1)
+
+        # metrics on the *pre-update* delta, matching the reference's fetches
+        # in the same sess.run as train_op (single_video_npy.py:213-215)
+        metric_delta = (
+            self._reg_delta(state.delta, flags)
+        )
+        thick = metrics_lib.thickness(metric_delta)
+        rough = metrics_lib.roughness(metric_delta)
+        probs = terms.pop("probs")
+        fooled = metrics_lib.is_adversarial(
+            probs,
+            batch["labels"],
+            targeted=self.config.targeted,
+            target_class=self.config.target_class,
+        )
+        metrics = {
+            "total_loss": total,
+            "thickness": thick,
+            "roughness": rough,
+            "is_adversarial": fooled,
+            "step": state.step,
+            **terms,
+        }
+        if self.track_probs:
+            metrics["probs"] = probs
+        return new_state, metrics
+
+    def _eval_step_impl(
+        self,
+        delta: jax.Array,
+        batch: Dict[str, jax.Array],
+        flags: RuntimeFlags,
+        key: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        x = self._normalize(batch["video"])
+        adv = self._apply_delta(x, delta, flags, key)
+        adv_logits = self.apply_fn(self.variables, adv)
+        clean_logits = self.apply_fn(self.variables, x)
+        adv_probs = jax.nn.softmax(adv_logits, axis=-1)
+        clean_probs = jax.nn.softmax(clean_logits, axis=-1)
+        miss, valid = metrics_lib.fooling_counts(
+            adv_probs,
+            clean_probs,
+            batch["labels"],
+            targeted=self.config.targeted,
+            target_class=self.config.target_class,
+            exclude_misclassify=self.config.exclude_misclassify,
+        )
+        return {
+            "miss": miss,
+            "valid": valid,
+            "adv_probs": adv_probs,
+            "clean_probs": clean_probs,
+        }
+
+    def _forward_impl(
+        self,
+        delta: jax.Array,
+        batch: Dict[str, jax.Array],
+        flags: RuntimeFlags,
+        key: jax.Array,
+        adversarial: bool = True,
+    ) -> jax.Array:
+        x = self._normalize(batch["video"])
+        if adversarial:
+            x = self._apply_delta(x, delta, flags, key)
+        logits = self.apply_fn(self.variables, x)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # ---------- public API ----------
+
+    def shard(self, batch):
+        if self.mesh is None:
+            return batch
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def train_step(self, state, batch, flags: RuntimeFlags, key) -> Tuple[AttackState, Dict]:
+        return self._train_step(state, batch, flags, key)
+
+    def eval_step(self, delta, batch, flags: RuntimeFlags, key) -> Dict:
+        return self._eval_step(delta, batch, flags, key)
+
+    def forward(self, delta, batch, flags: RuntimeFlags, key, adversarial=True):
+        return self._forward(delta, batch, flags, key, adversarial=adversarial)
+
+    def adversarial_video(self, delta, batch, flags: RuntimeFlags, key=None):
+        """The clipped adversarial clip itself (res_dict['adv_video'],
+        single_video_npy.py:320)."""
+        x = self._normalize(jnp.asarray(batch["video"]))
+        return self._apply_delta(x, jnp.asarray(delta), flags, key)

@@ -1,0 +1,7 @@
+from .mesh import (
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+    DATA_AXIS,
+)

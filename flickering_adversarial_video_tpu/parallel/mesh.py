@@ -1,0 +1,62 @@
+"""Device mesh + sharding layout for the attack.
+
+The reference scales with single-host data parallelism only —
+nn.DataParallel over <=4 GPUs (model.py:575-578) and a constructed-but-
+disabled MirroredStrategy (i3d_adversarial_main_universal.py:309-312).  The
+TPU-native replacement is one mechanism that supersedes all of it
+(SURVEY.md section 5.8):
+
+  * a 1-D `jax.sharding.Mesh` over every chip, axis name 'data';
+  * the video batch sharded over 'data' (leading axis), delta + victim params
+    + optimizer state replicated;
+  * the attack step jitted with these shardings — XLA inserts the psum for
+    d(loss)/d(delta) over ICI automatically, since the gradient of a
+    replicated leaf wrt a sharded batch is a cross-replica sum;
+  * eval counters (miss, valid) come out replicated the same way.
+
+Multi-host runs get per-host tfrecord shard assignment in data/tfrecord.py
+plus jax.distributed initialization in the runner; nothing here changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, n_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host-side batch pytree onto the mesh, batch-axis sharded.
+
+    Uses jax.device_put with per-leaf NamedShardings; the transfer is one
+    host->device DMA per shard (per-host slice in multi-host setups).
+    """
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(put, batch)
