@@ -1,0 +1,320 @@
+// Native TFRecord reader for the host-side video pipeline.
+//
+// Role: the reference feeds its attack from TFRecord shards via TF's C++
+// tf.data runtime (i3d_adversarial_main_universal.py:231-248).  This library
+// is the equivalent native component for the TPU framework: it parses the
+// TFRecord framing ({u64 len, u32 masked crc32c, bytes, u32 crc}) and the
+// tf.train.Example wire format (the 'train/label' int64 + 'train/video'
+// raw-uint8-bytes schema of utils/pre_process_rgb_flow.py:211-236) straight
+// into caller-provided buffers — no TensorFlow, no Python-loop overhead, no
+// intermediate copies beyond one memcpy per record.  Exposed to Python via
+// ctypes (flickering_adversarial_video_tpu/data/native_reader.py).
+//
+// Thread-safety: each Reader instance owns one file handle; use one instance
+// per worker thread.  CRC verification is optional (off on the hot path; the
+// trailing CRCs are still read and skipped).
+//
+// Build: see native/build.sh (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---- crc32c (Castagnoli), slice-by-1 table; enough for optional checks ----
+
+uint32_t g_crc_table[256];
+bool g_crc_init = false;
+
+void InitCrcTable() {
+  if (g_crc_init) return;
+  const uint32_t poly = 0x82F63B78u;
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ poly : c >> 1;
+    g_crc_table[i] = c;
+  }
+  g_crc_init = true;
+}
+
+uint32_t Crc32c(const uint8_t* data, size_t n) {
+  InitCrcTable();
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; ++i)
+    crc = (crc >> 8) ^ g_crc_table[(crc ^ data[i]) & 0xFF];
+  return crc ^ 0xFFFFFFFFu;
+}
+
+uint32_t MaskedCrc32c(const uint8_t* data, size_t n) {
+  uint32_t crc = Crc32c(data, n);
+  return ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+}
+
+// ---- minimal protobuf wire parsing ----
+
+struct Slice {
+  const uint8_t* p;
+  size_t n;
+};
+
+bool ReadVarint(const uint8_t*& p, const uint8_t* end, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (p < end && shift < 64) {
+    uint8_t b = *p++;
+    result |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+  }
+  return false;
+}
+
+bool SkipField(const uint8_t*& p, const uint8_t* end, uint32_t wire_type) {
+  uint64_t tmp;
+  switch (wire_type) {
+    case 0:
+      return ReadVarint(p, end, &tmp);
+    case 1:
+      if (end - p < 8) return false;
+      p += 8;
+      return true;
+    case 2:
+      if (!ReadVarint(p, end, &tmp) || static_cast<uint64_t>(end - p) < tmp)
+        return false;
+      p += tmp;
+      return true;
+    case 5:
+      if (end - p < 4) return false;
+      p += 4;
+      return true;
+    default:
+      return false;
+  }
+}
+
+// Parse one Example: find features map (field 1), iterate entries, match
+// key strings, extract int64 label + bytes video.
+struct ParsedExample {
+  Slice video = {nullptr, 0};
+  int64_t label = -1;
+  bool has_video = false;
+  bool has_label = false;
+};
+
+bool ParseFeature(const uint8_t* p, const uint8_t* end, ParsedExample* out,
+                  bool is_video) {
+  // Feature { bytes_list=1 | float_list=2 | int64_list=3 }
+  while (p < end) {
+    uint64_t tag;
+    if (!ReadVarint(p, end, &tag)) return false;
+    uint32_t field = tag >> 3, wt = tag & 7;
+    if (field == 1 && wt == 2 && is_video) {  // BytesList
+      uint64_t len;
+      if (!ReadVarint(p, end, &len)) return false;
+      const uint8_t* bl = p;
+      const uint8_t* bl_end = p + len;
+      p += len;
+      while (bl < bl_end) {
+        uint64_t t2;
+        if (!ReadVarint(bl, bl_end, &t2)) return false;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {
+          uint64_t blen;
+          if (!ReadVarint(bl, bl_end, &blen)) return false;
+          out->video = {bl, static_cast<size_t>(blen)};
+          out->has_video = true;
+          bl += blen;
+        } else if (!SkipField(bl, bl_end, t2 & 7)) {
+          return false;
+        }
+      }
+    } else if (field == 3 && wt == 2 && !is_video) {  // Int64List (packed)
+      uint64_t len;
+      if (!ReadVarint(p, end, &len)) return false;
+      const uint8_t* il = p;
+      const uint8_t* il_end = p + len;
+      p += len;
+      while (il < il_end) {
+        uint64_t t2;
+        if (!ReadVarint(il, il_end, &t2)) return false;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {  // packed payload
+          uint64_t plen;
+          if (!ReadVarint(il, il_end, &plen)) return false;
+          const uint8_t* vp = il;
+          const uint8_t* vp_end = il + plen;
+          il += plen;
+          uint64_t v;
+          if (ReadVarint(vp, vp_end, &v)) {
+            out->label = static_cast<int64_t>(v);
+            out->has_label = true;
+          }
+        } else if ((t2 >> 3) == 1 && (t2 & 7) == 0) {  // unpacked varint
+          uint64_t v;
+          if (!ReadVarint(il, il_end, &v)) return false;
+          out->label = static_cast<int64_t>(v);
+          out->has_label = true;
+        } else if (!SkipField(il, il_end, t2 & 7)) {
+          return false;
+        }
+      }
+    } else if (!SkipField(p, end, wt)) {
+      return false;
+    }
+  }
+  return true;
+}
+
+bool ParseExample(const uint8_t* data, size_t n, const char* label_key,
+                  const char* video_key, ParsedExample* out) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + n;
+  size_t label_key_len = strlen(label_key);
+  size_t video_key_len = strlen(video_key);
+  while (p < end) {
+    uint64_t tag;
+    if (!ReadVarint(p, end, &tag)) return false;
+    if ((tag >> 3) == 1 && (tag & 7) == 2) {  // Features
+      uint64_t flen;
+      if (!ReadVarint(p, end, &flen)) return false;
+      const uint8_t* fp = p;
+      const uint8_t* fend = p + flen;
+      p += flen;
+      while (fp < fend) {
+        uint64_t t2;
+        if (!ReadVarint(fp, fend, &t2)) return false;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {  // map entry
+          uint64_t elen;
+          if (!ReadVarint(fp, fend, &elen)) return false;
+          const uint8_t* ep = fp;
+          const uint8_t* eend = fp + elen;
+          fp += elen;
+          Slice key = {nullptr, 0};
+          Slice value = {nullptr, 0};
+          while (ep < eend) {
+            uint64_t t3;
+            if (!ReadVarint(ep, eend, &t3)) return false;
+            uint64_t len;
+            if ((t3 >> 3) == 1 && (t3 & 7) == 2) {
+              if (!ReadVarint(ep, eend, &len)) return false;
+              key = {ep, static_cast<size_t>(len)};
+              ep += len;
+            } else if ((t3 >> 3) == 2 && (t3 & 7) == 2) {
+              if (!ReadVarint(ep, eend, &len)) return false;
+              value = {ep, static_cast<size_t>(len)};
+              ep += len;
+            } else if (!SkipField(ep, eend, t3 & 7)) {
+              return false;
+            }
+          }
+          if (key.p && value.p) {
+            if (key.n == video_key_len &&
+                memcmp(key.p, video_key, video_key_len) == 0) {
+              if (!ParseFeature(value.p, value.p + value.n, out, true))
+                return false;
+            } else if (key.n == label_key_len &&
+                       memcmp(key.p, label_key, label_key_len) == 0) {
+              if (!ParseFeature(value.p, value.p + value.n, out, false))
+                return false;
+            }
+          }
+        } else if (!SkipField(fp, fend, t2 & 7)) {
+          return false;
+        }
+      }
+    } else if (!SkipField(p, end, tag & 7)) {
+      return false;
+    }
+  }
+  return out->has_video && out->has_label;
+}
+
+struct Reader {
+  FILE* f = nullptr;
+  std::vector<uint8_t> buf;
+  bool verify_crc = false;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* tfr_open(const char* path, int verify_crc) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  Reader* r = new Reader();
+  r->f = f;
+  r->verify_crc = verify_crc != 0;
+  return r;
+}
+
+void tfr_close(void* handle) {
+  if (!handle) return;
+  Reader* r = static_cast<Reader*>(handle);
+  if (r->f) fclose(r->f);
+  delete r;
+}
+
+// Read the next record's parsed (video bytes, label).
+// Returns: 1 ok, 0 EOF, negative error codes.
+// video buffer is owned by the reader and valid until the next call.
+long tfr_next(void* handle, const uint8_t** video_out, long* video_len_out,
+              long long* label_out) {
+  Reader* r = static_cast<Reader*>(handle);
+  uint8_t header[12];
+  if (fread(header, 1, 12, r->f) != 12) return 0;  // EOF
+  uint64_t len;
+  memcpy(&len, header, 8);
+  if (r->verify_crc) {
+    uint32_t expect;
+    memcpy(&expect, header + 8, 4);
+    if (MaskedCrc32c(header, 8) != expect) return -2;
+  }
+  r->buf.resize(len);
+  if (fread(r->buf.data(), 1, len, r->f) != len) return -1;  // truncated
+  uint8_t footer[4];
+  if (fread(footer, 1, 4, r->f) != 4) return -1;
+  if (r->verify_crc) {
+    uint32_t expect;
+    memcpy(&expect, footer, 4);
+    if (MaskedCrc32c(r->buf.data(), len) != expect) return -2;
+  }
+  ParsedExample ex;
+  if (!ParseExample(r->buf.data(), len, "train/label", "train/video", &ex))
+    return -3;
+  *video_out = ex.video.p;
+  *video_len_out = static_cast<long>(ex.video.n);
+  *label_out = ex.label;
+  return 1;
+}
+
+// Bulk fill: read up to `count` records, copying video bytes (each expected
+// exactly `record_bytes` long after tail-cropping to the last `record_bytes`)
+// into dst (count*record_bytes) and labels into labels_out.
+// Returns number of records filled (clips shorter than record_bytes are
+// skipped, mirroring the reference writer's skip-short-videos rule,
+// kinetics_to_tf_record_uint8.py:75-86).
+long tfr_read_batch(void* handle, uint8_t* dst, long record_bytes,
+                    long long* labels_out, long count) {
+  const uint8_t* video;
+  long vlen;
+  long long label;
+  long filled = 0;
+  while (filled < count) {
+    long rc = tfr_next(handle, &video, &vlen, &label);
+    if (rc <= 0) break;
+    if (vlen < record_bytes) continue;  // too short: skip
+    // keep trailing record_bytes (last-N-frames convention)
+    memcpy(dst + filled * record_bytes, video + (vlen - record_bytes),
+           record_bytes);
+    labels_out[filled] = label;
+    ++filled;
+  }
+  return filled;
+}
+
+}  // extern "C"
