@@ -163,7 +163,7 @@ class TestPipeline:
         shards = list_shards(str(tmp_path))
         assert shards == sorted(paths)
         batches = list(
-            tfrecord_batches(shards, batch_size=2, frames=4, use_native=False)
+            tfrecord_batches(shards, batch_size=2, frames=4, height=6, width=6, use_native=False)
         )
         assert len(batches) == 3
         assert batches[0]["video"].shape == (2, 4, 6, 6, 3)
@@ -178,8 +178,8 @@ class TestPipeline:
             with TFRecordWriter(p) as w:
                 w.write(make_uint8_example(random_clip(rng, t=2), s))
             paths.append(p)
-        b0 = list(tfrecord_batches(paths, 1, host_id=0, num_hosts=2, use_native=False))
-        b1 = list(tfrecord_batches(paths, 1, host_id=1, num_hosts=2, use_native=False))
+        b0 = list(tfrecord_batches(paths, 1, height=6, width=6, host_id=0, num_hosts=2, use_native=False))
+        b1 = list(tfrecord_batches(paths, 1, height=6, width=6, host_id=1, num_hosts=2, use_native=False))
         l0 = {int(b["labels"][0]) for b in b0}
         l1 = {int(b["labels"][0]) for b in b1}
         assert l0 == {0, 2} and l1 == {1, 3}
