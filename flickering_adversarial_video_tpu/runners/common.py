@@ -1,0 +1,155 @@
+"""Shared runner plumbing: victim construction + engine wiring from config."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attack import FlickerSpec, SparseSpec, TorchStyleFlickerSpec
+from ..engine import AttackConfig, AttackEngine
+from ..models import create_model
+from ..models.i3d import init_i3d_params
+from ..parallel import make_mesh
+from ..utils.labels import load_label_map
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+def enable_compilation_cache(repo_root: Optional[str] = None) -> None:
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    jax.config.update("jax_compilation_cache_dir", os.path.join(root, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_victim(
+    model_name: str,
+    ckpt_path: Optional[str],
+    compute_dtype,
+    frames: int,
+    size: int,
+):
+    """(apply_fn, variables).  For I3D, `ckpt_path` is a DeepMind TF
+    checkpoint (converted on load, convert/tf_i3d.py); for the torch models a
+    torchvision state_dict .pt/.pth (convert/torch_video_resnet.py).  Missing
+    checkpoints fall back to random init with a loud warning — the attack
+    machinery is weight-agnostic."""
+    model, spec = create_model(model_name, compute_dtype=compute_dtype)
+
+    variables = None
+    if ckpt_path:
+        if model_name == "i3d":
+            index = ckpt_path + ".index"
+            if os.path.exists(index) or os.path.exists(ckpt_path):
+                from ..convert import convert_i3d_checkpoint
+
+                variables = convert_i3d_checkpoint(ckpt_path)
+        else:
+            if os.path.exists(ckpt_path):
+                import torch
+
+                from ..convert import convert_video_resnet_state_dict
+
+                sd = torch.load(ckpt_path, map_location="cpu")
+                if hasattr(sd, "state_dict"):
+                    sd = sd.state_dict()
+                variables = convert_video_resnet_state_dict(
+                    {k: np.asarray(v) for k, v in sd.items()}, model_name
+                )
+    if variables is None:
+        print(
+            f"[warn] no checkpoint for {model_name} at {ckpt_path!r}; "
+            "using random init (attack mechanics only, no meaningful victims)"
+        )
+        if model_name == "i3d":
+            variables = init_i3d_params(jax.random.key(0), frames=frames, size=size)
+        else:
+            variables = model.init(
+                jax.random.key(0), jnp.zeros((1, frames, size, size, 3))
+            )
+
+    if model_name == "i3d":
+        apply_fn = lambda v, x: model.apply(v, x)[0]
+    else:
+        apply_fn = model.apply
+    return apply_fn, variables
+
+
+def build_engine(
+    attack_cfg,
+    model_cfg,
+    *,
+    frames: Optional[int] = None,
+    size: Optional[int] = None,
+    use_mesh: bool = True,
+    attack_kind: str = "flickering",
+    track_probs: bool = True,
+    batch_size: Optional[int] = None,
+) -> Tuple[AttackEngine, Any]:
+    """AttackEngine + label list from run_config.yml sections."""
+    model_name = attack_cfg.get("MODEL_NAME", "i3d")
+    from ..models.registry import MODEL_REGISTRY
+
+    reg = MODEL_REGISTRY[model_name]
+    frames = frames or reg.default_frames
+    size = size or reg.default_size
+    compute_dtype = _DTYPES[attack_cfg.get("COMPUTE_DTYPE", "bfloat16")]
+
+    apply_fn, variables = build_victim(
+        model_name, model_cfg.get("CKPT_PATH"), compute_dtype, frames, size
+    )
+
+    labels = load_label_map(None)
+    targeted = bool(attack_cfg.get("TARGETED_ATTACK", False))
+    target_class = None
+    if targeted:
+        target_class = labels.index(attack_cfg.get("TARGETED_CLASS"))
+
+    if reg.norm_world == "tanh":
+        if attack_kind == "sparse":
+            spec = SparseSpec(frames=frames, height=size, width=size)
+        else:
+            spec = FlickerSpec(frames=frames)
+        reg_weighting = "tf"
+    else:
+        h = w = 1 if attack_kind != "sparse" else size
+        spec = TorchStyleFlickerSpec(
+            frames=frames,
+            height=1 if attack_kind != "sparse" else size,
+            width=1 if attack_kind != "sparse" else size,
+            max_norm=float(attack_cfg.get("L_INF_NORM", 1.0)),
+        )
+        reg_weighting = "torch"
+
+    cfg = AttackConfig(
+        improve_loss=bool(attack_cfg.get("IMPROVE_ADV_LOSS", True)),
+        margin=float(attack_cfg.get("PROB_MARGIN", 0.05)),
+        targeted=targeted,
+        use_logits=bool(attack_cfg.get("USE_LOGITS", False)),
+        attack_kind=attack_kind,
+        norm_world=reg.norm_world,
+        reg_weighting=reg_weighting,
+        learning_rate=float(attack_cfg.get("LEARNING_RATE", 1e-3)),
+        target_class=target_class,
+    )
+    # mesh over the largest device count that divides the batch (the batch
+    # axis is the only sharded axis; an indivisible batch degrades gracefully
+    # to fewer devices, batch 1 to single-device)
+    n_avail = len(jax.devices())
+    bs = batch_size or int(attack_cfg.get("BATCH_SIZE", 1))
+    n_dev = 1
+    if use_mesh:
+        for d in range(min(n_avail, bs), 0, -1):
+            if bs % d == 0:
+                n_dev = d
+                break
+    mesh = make_mesh(n_devices=n_dev) if n_dev > 1 else None
+    engine = AttackEngine(
+        apply_fn, variables, spec, cfg, mesh=mesh, track_probs=track_probs
+    )
+    return engine, labels

@@ -1,0 +1,2 @@
+from .config import AttrDict, load_config, default_config
+from .labels import load_label_map, kinetics400_labels

@@ -1,0 +1,229 @@
+"""End-to-end runner tests.
+
+Drives the real drivers (runners/single_video.py, runners/universal.py,
+runners/class_gen.py) over synthetic npy clips / tfrecord shards with a tiny
+injected victim (CPU-fast), asserting the full path: config -> data ->
+fused steps -> eval -> checkpoints -> result artifacts, including resume.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flickering_adversarial_video_tpu.data import TFRecordWriter, make_uint8_example
+from flickering_adversarial_video_tpu.utils.config import default_config
+from flickering_adversarial_video_tpu.utils.labels import kinetics400_labels
+
+FRAMES = 4
+SIZE = 16
+
+
+@pytest.fixture
+def tiny_victim(monkeypatch):
+    """Replace the I3D victim with a fast linear model for loop tests."""
+    key = jax.random.key(5)
+    w = jax.random.normal(key, (3, 400)) * 4.0
+
+    def fake_build_victim(model_name, ckpt_path, compute_dtype, frames, size):
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2, 3)) @ variables["w"]
+
+        return apply_fn, {"w": w}
+
+    from flickering_adversarial_video_tpu.runners import common
+
+    monkeypatch.setattr(common, "build_victim", fake_build_victim)
+
+    def predict(clip_u8):
+        x = clip_u8.astype(np.float32) / 128.0 - 1.0
+        return np.asarray(jnp.mean(jnp.asarray(x), axis=(1, 2, 3)) @ w)
+
+    return predict
+
+
+def _clip(rng):
+    return rng.integers(0, 255, (FRAMES, SIZE, SIZE, 3), dtype=np.uint8)
+
+
+def _self_labeled_clips(rng, predict, n):
+    """(clip, label) pairs whose label IS the clean prediction, so every video
+    is 'valid' under exclude-misclassified accounting."""
+    out = []
+    for _ in range(n):
+        c = _clip(rng)
+        label = int(predict(c[None]).argmax())
+        out.append((c, label))
+    return out
+
+
+class TestSingleVideoRunner:
+    def test_attack_and_pkl_schema(self, rng, tiny_victim, tmp_path, monkeypatch):
+        from flickering_adversarial_video_tpu.runners import single_video
+
+        labels = kinetics400_labels()
+        npy_dir = tmp_path / "npy"
+        npy_dir.mkdir()
+        clips = _self_labeled_clips(rng, tiny_victim, 2)
+        for i, (clip, label) in enumerate(clips):
+            name = f"rgb_vid{i}@{labels[label].replace(' ', '_')}.npy"
+            f32 = clip.astype(np.float32) / 128.0 - 1.0
+            np.save(npy_dir / name, f32[None])
+
+        cfg = default_config()
+        cfg.SINGLE_VIDEO_ATTACK.NPY_PATH = str(npy_dir)
+        cfg.SINGLE_VIDEO_ATTACK.PKL_RESULT_PATH = str(tmp_path / "res")
+        cfg.SINGLE_VIDEO_ATTACK.MAX_NUM_STEP = 400
+        cfg.SINGLE_VIDEO_ATTACK.COMPUTE_DTYPE = "float32"
+
+        written = single_video.run(cfg, frames=FRAMES, stop_rule="early")
+        assert len(written) >= 1
+        with open(written[0], "rb") as f:
+            res = pickle.load(f)
+        for k in (
+            "correct_cls", "correct_cls_id", "correct_cls_prob", "softmax_init",
+            "rgb_sample", "total_loss_l", "adv_loss_l", "reg_loss_l",
+            "norm_reg_loss_l", "diff_norm_reg_loss_l", "perturbation",
+            "adv_video", "softmax", "total_steps", "beta_0", "beta_1",
+            "beta_2", "beta_3", "fatness", "smoothness",
+        ):
+            assert k in res, k
+        assert res["is_adversarial"]
+        assert len(res["perturbation"]) == len(res["total_loss_l"])
+        # filename metric encoding
+        assert "_th_" in written[0] and "%_rg_" in written[0]
+
+    def test_skips_misclassified(self, rng, tiny_victim, tmp_path):
+        from flickering_adversarial_video_tpu.runners import single_video
+
+        labels = kinetics400_labels()
+        npy_dir = tmp_path / "npy"
+        npy_dir.mkdir()
+        clip, label = _self_labeled_clips(rng, tiny_victim, 1)[0]
+        wrong = (label + 1) % 400
+        f32 = clip.astype(np.float32) / 128.0 - 1.0
+        np.save(npy_dir / f"rgb_v@{labels[wrong].replace(' ', '_')}.npy", f32[None])
+
+        cfg = default_config()
+        cfg.SINGLE_VIDEO_ATTACK.NPY_PATH = str(npy_dir)
+        cfg.SINGLE_VIDEO_ATTACK.PKL_RESULT_PATH = str(tmp_path / "res")
+        written = single_video.run(cfg, frames=FRAMES, stop_rule="early")
+        assert written == []
+
+
+def _write_shards(tmp_path, rng, predict, n_shards=2, per_shard=4):
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir(exist_ok=True)
+    for s in range(n_shards):
+        with TFRecordWriter(str(shard_dir / f"shard{s}.tfrecords")) as w:
+            for clip, label in _self_labeled_clips(rng, predict, per_shard):
+                w.write(make_uint8_example(clip, label))
+    return str(shard_dir)
+
+
+class TestUniversalRunner:
+    def test_train_eval_checkpoint_resume(self, rng, tiny_victim, tmp_path, monkeypatch):
+        from flickering_adversarial_video_tpu.runners import universal
+
+        # geometry: runner parses with 224 default; patch batches to SIZE
+        import flickering_adversarial_video_tpu.runners.universal as u
+        from flickering_adversarial_video_tpu.data.tfrecord import tfrecord_batches
+
+        def batches(shards, bs, frames=None):
+            return tfrecord_batches(
+                shards, bs, frames=frames, height=SIZE, width=SIZE, use_native=False
+            )
+
+        monkeypatch.setattr(u, "tfrecord_batches", batches)
+
+        shard_dir = _write_shards(tmp_path, rng, tiny_victim)
+        cfg = default_config()
+        ac = cfg.UNIVERSAL_ATTACK
+        ac.TF_RECORDS_TRAIN_PATH = [shard_dir]
+        ac.TF_RECORDS_VAL_PATH = [shard_dir]
+        ac.NUM_OF_TRAIN_TF_RECORDS = 2
+        ac.NUM_OF_VAL_TF_RECORDS = 2
+        ac.BATCH_SIZE = 4
+        ac.PKL_RESULT_PATH = str(tmp_path / "out")
+        ac.COMPUTE_DTYPE = "float32"
+        ac.MAX_NUM_STEP = 6
+
+        out = universal.run(cfg, frames=FRAMES)
+        assert out["steps"] == 6
+        model_dir = universal.model_dir_name(ac)
+        assert os.path.exists(os.path.join(model_dir, "res.pkl"))
+        assert 0.0 <= out["final_eval"]["miss_rate"] <= 1.0
+        assert out["final_eval"]["total_valid_videos"] == 8  # self-labeled
+
+        # resume: second run continues from the checkpoint
+        ac.MAX_NUM_STEP = 10
+        out2 = universal.run(cfg, frames=FRAMES)
+        assert int(out2["state"].step) == 10
+
+    def test_sparse_variant(self, rng, tiny_victim, tmp_path, monkeypatch):
+        from flickering_adversarial_video_tpu.runners import universal
+        import flickering_adversarial_video_tpu.runners.universal as u
+        from flickering_adversarial_video_tpu.data.tfrecord import tfrecord_batches
+
+        monkeypatch.setattr(
+            u,
+            "tfrecord_batches",
+            lambda shards, bs, frames=None: tfrecord_batches(
+                shards, bs, frames=frames, height=SIZE, width=SIZE, use_native=False
+            ),
+        )
+        shard_dir = _write_shards(tmp_path, rng, tiny_victim, n_shards=1, per_shard=4)
+        cfg = default_config()
+        ac = cfg.UNIVERSAL_ATTACK
+        ac.FLICKERING_ATTACK = False  # L1,2 sparse attack path
+        ac.TF_RECORDS_TRAIN_PATH = [shard_dir]
+        ac.TF_RECORDS_VAL_PATH = [shard_dir]
+        ac.NUM_OF_TRAIN_TF_RECORDS = 1
+        ac.NUM_OF_VAL_TF_RECORDS = 1
+        ac.BATCH_SIZE = 4
+        ac.PKL_RESULT_PATH = str(tmp_path / "sparse_out")
+        ac.COMPUTE_DTYPE = "float32"
+        ac.MAX_NUM_STEP = 3
+
+        # sparse spec must get the real spatial size
+        out = universal.run(cfg, frames=FRAMES, size=SIZE)
+        assert out["steps"] == 3
+
+
+class TestClassGenRunner:
+    def test_epoch_loop(self, rng, tiny_victim, tmp_path, monkeypatch):
+        from flickering_adversarial_video_tpu.runners import class_gen
+        import flickering_adversarial_video_tpu.runners.class_gen as cgm
+        from flickering_adversarial_video_tpu.data.tfrecord import tfrecord_batches
+
+        monkeypatch.setattr(
+            cgm,
+            "tfrecord_batches",
+            lambda shards, bs, frames=None: tfrecord_batches(
+                shards, bs, frames=frames, height=SIZE, width=SIZE, use_native=False
+            ),
+        )
+        shard_dir = _write_shards(tmp_path, rng, tiny_victim, n_shards=1, per_shard=4)
+        cfg = default_config()
+        ac = cfg.CLASS_GEN_ATTACK
+        ac.TF_RECORDS_TRAIN_PATH = [shard_dir]
+        ac.TF_RECORDS_VAL_PATH = [shard_dir]
+        ac.NUM_OF_TRAIN_TF_RECORDS = 1
+        ac.NUM_OF_VAL_TF_RECORDS = 1
+        ac.BATCH_SIZE = 4
+        ac.PKL_RESULT_PATH = str(tmp_path / "cg") + "/"
+        ac.COMPUTE_DTYPE = "float32"
+        ac.MAX_NUM_STEP = 4
+
+        out = class_gen.run(cfg, frames=FRAMES)
+        assert out["steps"] == 4
+        res_path = os.path.join(ac.PKL_RESULT_PATH, "res.pkl")
+        assert os.path.exists(res_path)
+        with open(res_path, "rb") as f:
+            res = pickle.load(f)
+        for k in ("total_loss_l", "perturbation", "fool_rate", "fatness", "smoothness"):
+            assert k in res, k
