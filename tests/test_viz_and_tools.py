@@ -1,0 +1,169 @@
+"""Tests for viz (animation, aggregate plots), inference wrapper, tfrecord
+writers over real mp4 files, and the downloader's offline pieces."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestStatsPlots:
+    @pytest.fixture
+    def res(self, rng):
+        T = 6
+        delta = (rng.normal(size=(T, 1, 1, 3)) * 0.05).astype(np.float32)
+        clean = rng.uniform(-1, 1, (1, T, 16, 16, 3)).astype(np.float32)
+        return {
+            "correct_cls": "juggling balls",
+            "rgb_sample": clean,
+            "adv_video": np.clip(clean + delta[None], -1, 1),
+            "perturbation": [delta],
+            "fatness": [1.5],
+            "smoothness": [0.8],
+        }
+
+    def test_extract_videos(self, res):
+        from flickering_adversarial_video_tpu.viz.stats_plots import extract_videos
+
+        clean, delta_vid, adv = extract_videos(res)
+        assert clean.shape == adv.shape == delta_vid.shape == (6, 16, 16, 3)
+        assert clean.dtype == np.uint8
+
+    def test_animate_saves_gif(self, res, tmp_path):
+        from flickering_adversarial_video_tpu.viz.stats_plots import animate
+
+        out = animate(res, save=str(tmp_path / "a.gif"), fps=5, show=False)
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+class TestAggregate:
+    def test_best_epoch_selection(self):
+        from flickering_adversarial_video_tpu.viz.aggregate import best_epoch_stats
+
+        results = [
+            {"valid/fooling_ratio": 0.5, "valid/pert_thickness": 0.01, "valid/pert_roughness": 0.01},
+            {"valid/fooling_ratio": 0.9, "valid/pert_thickness": 0.05, "valid/pert_roughness": 0.02},
+            {"valid/fooling_ratio": 0.85, "valid/pert_thickness": 0.03, "valid/pert_roughness": 0.02},
+        ]
+        s = best_epoch_stats(results, fooling_threshold=0.8)
+        assert s["epoch"] == 3  # min thickness among fooling >= 0.8
+        s2 = best_epoch_stats(results, fooling_threshold=0.99)
+        assert s2["epoch"] == 2  # fallback: max fooling
+
+    def test_collect_and_plot(self, tmp_path):
+        from flickering_adversarial_video_tpu.viz.aggregate import (
+            collect_experiments,
+            plot_sweep,
+        )
+
+        for n in (100, 1000):
+            d = tmp_path / f"r3d_18_t{n}"
+            d.mkdir()
+            results = [
+                {
+                    "valid/fooling_ratio": 0.9,
+                    "valid/pert_thickness": 0.02,
+                    "valid/pert_roughness": 0.01,
+                }
+            ]
+            np.save(d / "r3d_18_001.npy", results)
+        exps = collect_experiments(str(tmp_path))
+        assert [n for n, _ in exps["r3d_18"]] == [100, 1000]
+        out = plot_sweep(exps, save=str(tmp_path / "sweep.png"))
+        assert os.path.exists(out)
+
+
+class TestInferenceWrapper:
+    def test_adv_flag_switches_delta(self, rng):
+        from flickering_adversarial_video_tpu.attack import FlickerSpec
+        from flickering_adversarial_video_tpu.engine import AttackConfig, AttackEngine
+        from flickering_adversarial_video_tpu.engine.inference import InferenceModel
+
+        w = jax.random.normal(jax.random.key(2), (3, 10))
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2, 3)) @ variables["w"]
+
+        engine = AttackEngine(apply_fn, {"w": w}, FlickerSpec(frames=4), AttackConfig())
+        infer = InferenceModel(engine)
+        clip = rng.uniform(-1, 1, (1, 4, 8, 8, 3)).astype(np.float32)
+        p_clean = infer(clip, adv_flag=0)
+        infer.load_perturbation(np.full((4, 1, 1, 3), 0.3, np.float32))
+        p_adv = infer(clip, adv_flag=1)
+        p_off = infer(clip, adv_flag=0)
+        assert not np.allclose(p_clean, p_adv)
+        np.testing.assert_allclose(p_clean, p_off, atol=1e-6)
+
+
+def _write_mp4(path, frames):
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h)
+    )
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+class TestVideoToTFRecord:
+    def test_mp4_roundtrip_and_class_shards(self, rng, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from flickering_adversarial_video_tpu.data.tfrecord import (
+            parse_example_uint8,
+            read_records,
+        )
+        from flickering_adversarial_video_tpu.data.video import video_to_frames
+        from flickering_adversarial_video_tpu.data.write_tfrecords import (
+            write_class_shards,
+        )
+
+        class_dir = tmp_path / "vids"
+        class_dir.mkdir()
+        frames = [
+            rng.integers(0, 255, (240, 320, 3), dtype=np.uint8) for _ in range(12)
+        ]
+        _write_mp4(class_dir / "a.mp4", frames)
+        # a too-short clip must be skipped
+        _write_mp4(class_dir / "short.mp4", frames[:2])
+
+        clip = video_to_frames(str(class_dir / "a.mp4"), n_steps=8)
+        assert clip is not None and clip.shape == (1, 8, 224, 224, 3)
+        assert clip.min() >= -1.0 and clip.max() <= 1.0
+
+        out = tmp_path / "shards"
+        shards = write_class_shards(
+            str(class_dir), 7, str(out), frames=8, per_shard=100
+        )
+        assert len(shards) == 1
+        recs = list(read_records(shards[0]))
+        assert len(recs) == 1  # short clip skipped
+        video, label = parse_example_uint8(recs[0])
+        assert label == 7 and video.shape == (8, 224, 224, 3)
+
+
+class TestDownloaderOffline:
+    def test_csv_and_report_summary(self, tmp_path):
+        from flickering_adversarial_video_tpu.data.kinetics_download import (
+            read_kinetics_csv,
+            summarize_report,
+        )
+
+        csv_path = tmp_path / "ann.csv"
+        csv_path.write_text(
+            "label,youtube_id,time_start,time_end,split\n"
+            "juggling balls,abc123,0,10,val\n"
+        )
+        rows = read_kinetics_csv(str(csv_path))
+        assert rows[0]["youtube_id"] == "abc123"
+
+        report = {"a": "ok", "b": "Video unavailable", "c": "timeout", "d": "weird"}
+        rp = tmp_path / "report.json"
+        rp.write_text(json.dumps(report))
+        s = summarize_report(str(rp))
+        assert s == {"ok": 1, "unavailable": 1, "timeout": 1, "other": 1}
