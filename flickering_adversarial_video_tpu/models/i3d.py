@@ -261,4 +261,6 @@ def init_i3d_params(
     shaping converted checkpoints."""
     model = InceptionI3D(num_classes=num_classes, compute_dtype=compute_dtype)
     dummy = jnp.zeros((1, frames, size, size, 3), jnp.float32)
-    return model.init(key, dummy)
+    # jit: eager init dispatches hundreds of tiny ops (painful over a
+    # tunneled device); one compiled program initializes everything.
+    return jax.jit(model.init)(key, dummy)

@@ -1,0 +1,80 @@
+"""Pallas fused preprocess+perturb kernel: numeric parity vs the jnp path
+(forward AND custom-VJP gradient), run in interpreter mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flickering_adversarial_video_tpu.ops.fused_apply import (
+    _jnp_reference,
+    _supported,
+    fused_normalize_perturb,
+)
+
+# geometry with H*W*C % 128 == 0: 8x16x3 = 384 = 3*128
+B, T, H, W, C = 2, 4, 8, 16, 3
+
+
+@pytest.fixture
+def data(rng):
+    video = rng.integers(0, 255, (B, T, H, W, C), dtype=np.uint8)
+    delta = (rng.normal(size=(T, 1, 1, C)) * 0.5).astype(np.float32)
+    return jnp.asarray(video), jnp.asarray(delta)
+
+
+def test_geometry_supported():
+    assert _supported((B, T, H, W, C))
+    assert _supported((8, 64, 224, 224, 3))
+    assert _supported((8, 16, 112, 112, 3))
+
+
+def test_forward_matches_jnp(data):
+    video, delta = data
+    got = fused_normalize_perturb(video, delta, jnp.float32(1.0))
+    expected = _jnp_reference(video, delta, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+
+def test_forward_adv_flag_zero(data):
+    video, delta = data
+    got = fused_normalize_perturb(video, delta, jnp.float32(0.0))
+    expected = _jnp_reference(video, delta, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+
+def test_gradient_matches_jnp(data):
+    video, delta = data
+
+    def loss_pallas(d):
+        out = fused_normalize_perturb(video, d, jnp.float32(1.0))
+        return jnp.sum(out * jnp.cos(out))  # nontrivial upstream gradient
+
+    def loss_jnp(d):
+        out = _jnp_reference(video, d, 1.0)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_pallas = jax.grad(loss_pallas)(delta)
+    g_jnp = jax.grad(loss_jnp)(delta)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_jnp), atol=1e-4)
+
+
+def test_gradient_clip_mask(data):
+    """Saturated pixels must contribute zero gradient."""
+    video, _ = data
+    delta = jnp.full((T, 1, 1, C), 5.0)  # everything clips to +1
+
+    def loss(d):
+        return jnp.sum(fused_normalize_perturb(video, d, jnp.float32(1.0)))
+
+    g = jax.grad(loss)(delta)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+
+def test_fallback_on_unsupported_geometry(rng):
+    video = jnp.asarray(rng.integers(0, 255, (1, 3, 5, 5, 3), dtype=np.uint8))
+    delta = jnp.zeros((3, 1, 1, 3))
+    out = fused_normalize_perturb(video, delta, jnp.float32(1.0))
+    expected = _jnp_reference(video, delta, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
