@@ -55,6 +55,14 @@ class AttackConfig:
     # (kinetics_i3d_utils.py:172-195); torch world the clamped one
     # (model.py:88,1078). None -> derived from norm_world.
     reg_on_clipped: Optional[bool] = None
+    # compile the cyclic-roll augmentation paths into the step (CYCLIC_ATTACK
+    # / CYCLIC_PERTURBATION_ATTACK support). Off by default: the reference
+    # ships with both flags False (run_config.yml:26,77-78) and the rolls
+    # cost an extra full-video materialization.
+    enable_cyclic: bool = False
+    # route the tanh-world preprocess+apply through the Pallas fused kernel
+    # (ops/fused_apply.py). Requires enable_cyclic=False and uint8 input.
+    use_pallas_fused: bool = False
 
     @property
     def regularize_clipped(self) -> bool:
@@ -156,6 +164,8 @@ class AttackEngine:
     def _apply_delta(
         self, x: jax.Array, delta: jax.Array, flags: RuntimeFlags, key: Optional[jax.Array]
     ) -> jax.Array:
+        if not self.config.enable_cyclic:
+            key = None  # rolls compiled out; cyclic flags are inert
         if self.config.norm_world == "tanh":
             return pert_lib.apply_perturbation(
                 x,
@@ -193,8 +203,21 @@ class AttackEngine:
         flags: RuntimeFlags,
         key: Optional[jax.Array],
     ):
-        x = self._normalize(video)
-        adv = self._apply_delta(x, delta, flags, key)
+        if (
+            self.config.use_pallas_fused
+            and self.config.norm_world == "tanh"
+            and not self.config.enable_cyclic
+            and video.dtype == jnp.uint8
+        ):
+            from ..ops.fused_apply import fused_normalize_perturb
+
+            clipped = pert_lib.clip_delta(self.spec, delta)
+            adv = fused_normalize_perturb(
+                video, clipped, jnp.asarray(flags.adv_flag, jnp.float32)
+            )
+        else:
+            x = self._normalize(video)
+            adv = self._apply_delta(x, delta, flags, key)
         logits = self.apply_fn(self.variables, adv)
         adv_total, aux = losses_lib.adversarial_loss(
             logits,

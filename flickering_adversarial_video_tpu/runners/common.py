@@ -136,6 +136,11 @@ def build_engine(
         reg_weighting=reg_weighting,
         learning_rate=float(attack_cfg.get("LEARNING_RATE", 1e-3)),
         target_class=target_class,
+        enable_cyclic=bool(
+            attack_cfg.get("CYCLIC_ATTACK", False)
+            or attack_cfg.get("CYCLIC_PERTURBATION_ATTACK", False)
+        ),
+        use_pallas_fused=bool(attack_cfg.get("USE_PALLAS_FUSED", False)),
     )
     # mesh over the largest device count that divides the batch (the batch
     # axis is the only sharded axis; an indivisible batch degrades gracefully

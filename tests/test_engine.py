@@ -203,3 +203,39 @@ class TestTorchWorld:
             state, metrics = engine.train_step(state, batch, flags, jax.random.key(i))
         assert np.isfinite(float(metrics["total_loss"]))
         assert float(jnp.abs(state.delta).max()) > 0
+
+
+class TestPallasFusedPath:
+    def test_fused_step_matches_plain(self, rng):
+        apply_fn, variables = linear_victim()
+        # geometry with H*W*C % 128 == 0 and B*T % 8 == 0
+        batch = make_batch(rng, b=2, t=4, h=8, w=16)
+        spec = FlickerSpec(frames=4)
+        plain = AttackEngine(apply_fn, variables, spec, AttackConfig())
+        fused = AttackEngine(
+            apply_fn, variables, spec, AttackConfig(use_pallas_fused=True)
+        )
+        key = jax.random.key(0)
+        flags = RuntimeFlags()
+        sp, sf = plain.init_state(), fused.init_state()
+        for i in range(3):
+            sp, mp = plain.train_step(sp, batch, flags, jax.random.key(i))
+            sf, mf = fused.train_step(sf, batch, flags, jax.random.key(i))
+        np.testing.assert_allclose(
+            np.asarray(sp.delta), np.asarray(sf.delta), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(mp["total_loss"]), float(mf["total_loss"]), rtol=1e-4
+        )
+
+
+class TestCyclicEngine:
+    def test_cyclic_flags_only_with_enable_cyclic(self, rng):
+        apply_fn, variables = linear_victim()
+        spec = FlickerSpec(frames=6)
+        batch = make_batch(rng)
+        key = jax.random.key(0)
+        cyc = AttackEngine(apply_fn, variables, spec, AttackConfig(enable_cyclic=True))
+        s = cyc.init_state()
+        s, m = cyc.train_step(s, batch, RuntimeFlags(cyclic_flag=1.0), key)
+        assert np.isfinite(float(m["total_loss"]))
