@@ -77,8 +77,14 @@ def time_optimized(engine, batch):
     return STEPS / (time.perf_counter() - t0)
 
 
-def time_reference_protocol(model, variables, batch):
-    """TF1-session-style protocol on the same chip (see module docstring)."""
+def time_reference_protocol(model, variables, batch, feed_per_step=False):
+    """TF1-session-style protocol on the same chip (see module docstring).
+
+    feed_per_step=False keeps the f32 batch device-resident — CONSERVATIVE in
+    our favor: the real reference re-feeds host->device every sess.run, but a
+    tunneled device would inflate that cost unfairly, so the headline
+    vs_baseline excludes it (the full-feed number is reported separately).
+    """
     import optax
 
     spec_clip = 0.4
@@ -117,20 +123,23 @@ def time_reference_protocol(model, variables, batch):
 
     video_f32_host = np.asarray(batch["video"], np.float32) / 128.0 - 1.0
     labels = jax.device_put(batch["labels"])
+    video_resident = jax.device_put(video_f32_host)
     delta = jnp.zeros((FRAMES, 1, 1, 3))
     opt_state = opt.init(delta)
 
+    def get_video():
+        if feed_per_step:
+            return jax.device_put(video_f32_host)  # feed_dict each sess.run
+        return video_resident
+
     def one_reference_step(delta, opt_state):
-        video = jax.device_put(video_f32_host)  # feed_dict each sess.run
-        delta, opt_state, loss = train_call(delta, video, labels, opt_state)
+        delta, opt_state, loss = train_call(delta, get_video(), labels, opt_state)
         _ = np.asarray(loss)  # fetch to host
-        video2 = jax.device_put(video_f32_host)
-        probs = softmax_fetch(delta, video2)
+        probs = softmax_fetch(delta, get_video())
         _ = np.asarray(probs)
-        video3 = jax.device_put(video_f32_host)
-        logits_c = clean_logits_fetch(video3)
+        logits_c = clean_logits_fetch(get_video())
         _ = np.asarray(logits_c)
-        pert = np.asarray(delta)  # pert fetch (single_video_npy.py:305)
+        _ = np.asarray(delta)  # pert fetch (single_video_npy.py:305)
         return delta, opt_state
 
     for _ in range(2):
@@ -152,9 +161,12 @@ def main():
     engine, model, variables = build_engine(jnp.bfloat16)
     optimized = time_optimized(engine, batch)
 
-    # reference protocol replays the f32 dual-fetch session loop
+    # reference protocol replays the f32 multi-fetch session loop
     _, model_f32, variables_f32 = build_engine(jnp.float32)
     baseline = time_reference_protocol(model_f32, variables_f32, batch)
+    baseline_feed = time_reference_protocol(
+        model_f32, variables_f32, batch, feed_per_step=True
+    )
 
     print(
         json.dumps(
@@ -164,6 +176,7 @@ def main():
                 "unit": "steps/s",
                 "vs_baseline": round(optimized / baseline, 2),
                 "baseline_reference_protocol_steps_per_s": round(baseline, 3),
+                "baseline_with_per_step_feed_steps_per_s": round(baseline_feed, 3),
             }
         )
     )

@@ -227,8 +227,11 @@ class InceptionI3D(nn.Module):
 
         # Logits head (reference i3d.py:459-474): VALID avg pool [2,7,7],
         # (dropout is identity at keep_prob=1 inference), 1x1x1 conv w/ bias,
-        # spatial squeeze, mean over time.
-        x = nn.avg_pool(x, window_shape=(2, 7, 7), strides=(1, 1, 1), padding="VALID")
+        # spatial squeeze, mean over time.  At the canonical 224x224 input the
+        # feature map is [T', 7, 7]; for smaller (test/dryrun) inputs the
+        # window clamps to the feature size — identical behavior at 224.
+        window = (min(2, x.shape[1]), min(7, x.shape[2]), min(7, x.shape[3]))
+        x = nn.avg_pool(x, window_shape=window, strides=(1, 1, 1), padding="VALID")
         logits = Unit3D(
             self.num_classes,
             (1, 1, 1),
