@@ -29,6 +29,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bring-up: jax.distributed + per-host device discovery.
+
+    Single mechanism for scaling past one host (DCN between hosts, ICI
+    within): call this once per host process before building the mesh; the
+    mesh then spans all global devices and `tfrecord_batches(...,
+    host_id=jax.process_index(), num_hosts=jax.process_count())` assigns each
+    host its shard subset.  No-ops in single-process runs.
+
+    Returns jax.process_index().
+    """
+    if coordinator_address is not None:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    import jax
+
+    return jax.process_index()
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, n_devices: Optional[int] = None) -> Mesh:
     """1-D data-parallel mesh over the given (default: all) devices."""
     if devices is None:

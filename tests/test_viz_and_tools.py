@@ -167,3 +167,39 @@ class TestDownloaderOffline:
         rp.write_text(json.dumps(report))
         s = summarize_report(str(rp))
         assert s == {"ok": 1, "unavailable": 1, "timeout": 1, "other": 1}
+
+
+class TestVerifiedNpySet:
+    def test_build_verified_set(self, rng, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from flickering_adversarial_video_tpu.data.npy import (
+            build_verified_npy_set,
+            load_npy_clip,
+            parse_label_from_filename,
+        )
+
+        classes = ["class a", "class b"]
+        root = tmp_path / "videos"
+        for c in classes:
+            d = root / c.replace(" ", "_")
+            d.mkdir(parents=True)
+            frames = [
+                rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+                for _ in range(10)
+            ]
+            _write_mp4(d / "v.mp4", frames)
+
+        # predictor that always says class index 0: only 'class a' verifies
+        def predict(clip):
+            p = np.zeros((1, 2))
+            p[0, 0] = 1.0
+            return p
+
+        written = build_verified_npy_set(
+            str(root), n_frames=6, num_of_vid=2, dest_folder=str(tmp_path / "npy"),
+            predict_fn=predict, class_names=classes,
+        )
+        assert len(written) == 1
+        assert parse_label_from_filename(written[0]) == "class a"
+        clip = load_npy_clip(written[0], frames=6)
+        assert clip.shape == (1, 6, 224, 224, 3)
