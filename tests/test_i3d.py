@@ -176,3 +176,43 @@ class TestFullModel:
         g = jax.grad(loss_fn)(x)
         assert g.shape == (1, 16, 224, 224, 3)
         assert bool(jnp.any(g != 0))
+
+
+class TestPackedStem:
+    """Space-to-depth stem (PackedStemUnit3D) must be numerically identical
+    to the plain 7x7x7 stride-2 SAME conv — parity vs tf.nn.conv3d."""
+
+    def test_packed_equals_plain_conv(self, rng):
+        from flickering_adversarial_video_tpu.models.i3d import (
+            _pack_stem_input,
+            _pack_stem_kernel,
+        )
+        import jax.lax as lax
+
+        x = rng.normal(size=(2, 8, 16, 16, 3)).astype(np.float32)
+        w = (rng.normal(size=(7, 7, 7, 3, 5)) * 0.1).astype(np.float32)
+        expected = tf.nn.conv3d(x, w, strides=(1, 2, 2, 2, 1), padding="SAME").numpy()
+
+        packed = _pack_stem_input(jnp.asarray(x))
+        pk = _pack_stem_kernel(jnp.asarray(w))
+        got = lax.conv_general_dilated(
+            packed, pk, (1, 1, 1), [(1, 2), (1, 2), (1, 2)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, atol=2e-5)
+
+    def test_full_model_packed_vs_plain(self):
+        variables = init_i3d_params(jax.random.key(0), frames=16, size=224)
+        x = jax.random.uniform(jax.random.key(1), (1, 16, 224, 224, 3), minval=-1, maxval=1)
+        plain = InceptionI3D(num_classes=400, packed_stem=False)
+        packed = InceptionI3D(num_classes=400, packed_stem=True)
+        lp, _ = plain.apply(variables, x)
+        lk, _ = packed.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lk), atol=2e-4)
+
+    def test_odd_geometry_falls_back(self):
+        model = InceptionI3D(num_classes=10, packed_stem=True)
+        x = jnp.zeros((1, 9, 224, 224, 3))  # odd T
+        variables = model.init(jax.random.key(0), x)
+        logits, _ = model.apply(variables, x)
+        assert logits.shape == (1, 10)
