@@ -69,31 +69,23 @@ _BRANCH2_SECOND_NAME = {"Mixed_5b": "Conv3d_0a_3x3"}
 
 
 def _pack_stem_input(x: jax.Array) -> jax.Array:
-    """Space-to-depth by 2 over (T, H, W): [B,T,H,W,C] -> [B,T/2,H/2,W/2,8C].
+    """Space-to-depth by 2 over (T, H, W): [B,T,H,W,C] -> [B,T/2,H/2,W/2,8C]
+    (shared impl: ops/space_to_depth.py)."""
+    from ..ops.space_to_depth import pack_input
 
-    Packed channel order = (parity_t, parity_h, parity_w, C), matching
-    `_pack_stem_kernel`.
-    """
-    b, t, h, w, c = x.shape
-    x = x.reshape(b, t // 2, 2, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    return x.reshape(b, t // 2, h // 2, w // 2, 8 * c)
+    return pack_input(x, axes=(1, 2, 3))
 
 
 def _pack_stem_kernel(kernel: jax.Array) -> jax.Array:
-    """Repack a [7,7,7,Cin,Cout] stride-2 SAME kernel for the packed input:
-    -> [4,4,4,8*Cin,Cout], stride 1, SAME (pad (1,2)).
+    """Repack a [7,7,7,Cin,Cout] stride-2 SAME kernel (pads (2,3) at even
+    extents) for the packed input: -> [4,4,4,8*Cin,Cout], stride 1, packed
+    pads (1,2).  The taps split by parity; math identical to the original
+    conv (shared impl + derivation: ops/space_to_depth.py)."""
+    from ..ops.space_to_depth import pack_conv_spatiotemporal
 
-    For even input extents, SAME with k=7, s=2 pads (2,3); an output index t'
-    reads original offsets j-2, j in 0..6, at input 2t'+j-2. In packed cells
-    u = t'-1+m with tap m = j//2 and parity j%2 — so the kernel splits by tap
-    parity (zero-padding tap 7), exactly reproducing the original conv.
-    """
-    k = jnp.pad(kernel, ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
-    kt, kh, kw, cin, cout = k.shape
-    k = k.reshape(kt // 2, 2, kh // 2, 2, kw // 2, 2, cin, cout)
-    k = k.transpose(0, 2, 4, 1, 3, 5, 6, 7)
-    return k.reshape(kt // 2, kh // 2, kw // 2, 8 * cin, cout)
+    kp, pads = pack_conv_spatiotemporal(kernel, (2, 2, 2))
+    assert pads == ((1, 2), (1, 2), (1, 2)), pads
+    return kp
 
 
 class _StemKernel(nn.Module):

@@ -172,24 +172,74 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
+class _Kernel(nn.Module):
+    """Bare kernel holder keeping the packed stems' parameter paths identical
+    to the plain nn.Conv layout (<name>/kernel)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+def _packed_spatial_conv(x, kernel, dt):
+    """Stride-(1,2,2) C_in=3 stem conv via spatial space-to-depth: identical
+    math (torch symmetric pad 3 -> packed pads (2,1)), 4x the MXU input
+    lanes.  The stem is the dominant cost of the video-ResNet forward on TPU
+    (C_in=3 uses 3/128 lanes); see ops/space_to_depth.py."""
+    from ..ops.space_to_depth import pack_conv_spatial, pack_input
+
+    xp = pack_input(x.astype(dt), axes=(2, 3))
+    kp, pad_h, pad_w = pack_conv_spatial(kernel, 3, 3)
+    kt = kernel.shape[0]
+    pad_t = (kt // 2, kt // 2)  # torch padding=(1,3,3) or (0,3,3)
+    if kt == 1:
+        pad_t = (0, 0)
+    return jax.lax.conv_general_dilated(
+        xp,
+        kp.astype(dt),
+        window_strides=(1, 1, 1),
+        padding=[pad_t, pad_h, pad_w],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=dt,
+    )
+
+
+def _stem_can_pack(x) -> bool:
+    return x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+
+
 class R3DStem(nn.Module):
     compute_dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
         dt = self.compute_dtype
-        x = _conv(64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dt, "conv")(x)
+        if self.packed and _stem_can_pack(x):
+            kernel = _Kernel((3, 7, 7, x.shape[-1], 64), name="conv")()
+            x = _packed_spatial_conv(x, kernel, dt)
+        else:
+            x = _conv(64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dt, "conv")(x)
         x = _bn(dt, "bn")(x)
         return nn.relu(x)
 
 
 class R2Plus1DStem(nn.Module):
     compute_dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
         dt = self.compute_dtype
-        x = _conv(45, (1, 7, 7), (1, 2, 2), (0, 3, 3), dt, "conv_s")(x)
+        if self.packed and _stem_can_pack(x):
+            kernel = _Kernel((1, 7, 7, x.shape[-1], 45), name="conv_s")()
+            x = _packed_spatial_conv(x, kernel, dt)
+        else:
+            x = _conv(45, (1, 7, 7), (1, 2, 2), (0, 3, 3), dt, "conv_s")(x)
         x = _bn(dt, "bn_s")(x)
         x = nn.relu(x)
         x = _conv(64, (3, 1, 1), (1, 1, 1), (1, 0, 0), dt, "conv_t")(x)

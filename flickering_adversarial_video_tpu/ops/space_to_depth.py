@@ -1,0 +1,117 @@
+"""Space-to-depth stem transforms — generic kernel/input repacking.
+
+A stride-2 conv with C_in=3 uses 3 of the MXU's 128 input lanes; packing 2x2
+(spatial) or 2x2x2 (spatiotemporal) pixel blocks into channels makes the same
+convolution run with 12/24 input channels at stride 1 — identical math, the
+kernel taps split by parity.  Used by the I3D stem (models/i3d.py
+PackedStemUnit3D) and the video-ResNet stems (models/video_resnet.py).
+
+`pack_kernel_axis` handles both padding conventions on the attack path:
+  * SAME with k=7, s=2, even extent -> pad (2, 3)   (TF/I3D stem)
+  * torch symmetric padding=3       -> pad (3, 3)   (video-ResNet stems)
+For a packed axis, an output index i reads original positions 2i + j - pad_lo
+(j in [0, K)); with cell u = floor(pos/2) and parity pos%2, tap j lands in
+cell offset floor((j - pad_lo)/2) with parity (j - pad_lo) % 2 — so the
+packed kernel has ceil((K + pad_lo%2)/2) taps and the packed conv pads
+(ceil(pad_lo/2), ...) computed here exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_input(x: jax.Array, axes: Sequence[int]) -> jax.Array:
+    """Pack factor-2 blocks of the given spatial axes into channels.
+
+    x: [..., C] with even extents on `axes`; channel order is
+    (parity_axis0, parity_axis1, ..., C), matching pack_kernel.
+    """
+    for ax in axes:
+        if x.shape[ax] % 2 != 0:
+            raise ValueError(f"axis {ax} extent {x.shape[ax]} is odd")
+    out = x
+    # split each packed axis into (half, parity), one at a time
+    for idx, ax in enumerate(sorted(axes)):
+        ax_eff = ax + idx  # prior splits inserted one axis before each parity
+        s = list(out.shape)
+        s[ax_eff : ax_eff + 1] = [s[ax_eff] // 2, 2]
+        out = out.reshape(s)
+    # now parity axes sit right after their halves; move them to just
+    # before the channel axis, in axis order
+    nd = out.ndim
+    parity_axes = [ax + 1 + i for i, ax in enumerate(sorted(axes))]
+    others = [i for i in range(nd - 1) if i not in parity_axes]
+    out = out.transpose(others + parity_axes + [nd - 1])
+    new_shape = [out.shape[i] for i in range(len(others))] + [
+        (2 ** len(axes)) * out.shape[-1]
+    ]
+    return out.reshape(new_shape)
+
+
+def pack_kernel_axis(
+    kernel: jax.Array, axis: int, pad_lo: int
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Split one kernel tap axis by parity given the original pad_lo.
+
+    Returns (packed kernel with the parity dim appended at position -2 — the
+    caller folds parities into C_in — here we fold immediately into a new
+    axis just before the input-channel axis) and the packed (pad_lo, pad_hi).
+    """
+    k = kernel.shape[axis]
+    shift = pad_lo % 2
+    padded_len = k + shift
+    if padded_len % 2 == 1:
+        padded_len += 1
+    pad_cfg = [(0, 0)] * kernel.ndim
+    pad_cfg[axis] = (shift, padded_len - k - shift)
+    kp = jnp.pad(kernel, pad_cfg)
+    # reshape axis -> (taps, parity)
+    s = list(kp.shape)
+    s[axis : axis + 1] = [padded_len // 2, 2]
+    kp = kp.reshape(s)
+
+    # packed conv padding: output i reads cells i + m - ceil(pad_lo/2)
+    lo = (pad_lo + 1) // 2
+    n_taps = padded_len // 2
+    # output index i reads cells i - lo .. i - lo + n_taps - 1
+    hi = n_taps - 1 - lo
+    return kp, (lo, hi)
+
+
+def pack_conv_spatial(
+    kernel: jax.Array, pad_lo_h: int, pad_lo_w: int
+) -> Tuple[jax.Array, Tuple[int, int], Tuple[int, int]]:
+    """Pack a [kT, kH, kW, Cin, Cout] kernel on H and W only.
+
+    Returns kernel [kT, kH', kW', 4*Cin, Cout] + packed pads for H and W.
+    Channel order (parity_h, parity_w, C) — matches pack_input(x, axes=(2,3))
+    for NDHWC inputs.
+    """
+    kp, pad_h = pack_kernel_axis(kernel, 1, pad_lo_h)  # -> [kT,kH',2,kW,Cin,Cout]
+    kp, pad_w = pack_kernel_axis(kp, 3, pad_lo_w)  # -> [kT,kH',2,kW',2,Cin,Cout]
+    kt, kh, ph, kw, pw, cin, cout = kp.shape
+    kp = kp.transpose(0, 1, 3, 2, 4, 5, 6)  # [kT,kH',kW',2,2,Cin,Cout]
+    kp = kp.reshape(kt, kh, kw, ph * pw * cin, cout)
+    return kp, pad_h, pad_w
+
+
+def pack_conv_spatiotemporal(
+    kernel: jax.Array, pad_lo: Tuple[int, int, int]
+) -> Tuple[jax.Array, Tuple[Tuple[int, int], ...]]:
+    """Pack a [kT, kH, kW, Cin, Cout] kernel on T, H and W.
+
+    Returns kernel [kT', kH', kW', 8*Cin, Cout] + packed pads per axis.
+    Channel order (parity_t, parity_h, parity_w, C) — matches
+    pack_input(x, axes=(1,2,3)).
+    """
+    kp, pad_t = pack_kernel_axis(kernel, 0, pad_lo[0])  # [kT',2,kH,kW,Ci,Co]
+    kp, pad_h = pack_kernel_axis(kp, 2, pad_lo[1])  # [kT',2,kH',2,kW,Ci,Co]
+    kp, pad_w = pack_kernel_axis(kp, 4, pad_lo[2])  # [kT',2,kH',2,kW',2,Ci,Co]
+    kt, pt, kh, ph, kw, pw, cin, cout = kp.shape
+    kp = kp.transpose(0, 2, 4, 1, 3, 5, 6, 7)
+    kp = kp.reshape(kt, kh, kw, pt * ph * pw * cin, cout)
+    return kp, (pad_t, pad_h, pad_w)
