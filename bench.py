@@ -39,12 +39,14 @@ WARMUP = 3
 STEPS = 20
 
 
-def build_engine(compute_dtype):
+def build_engine(compute_dtype, packed_stem=True):
     from flickering_adversarial_video_tpu.attack import FlickerSpec
     from flickering_adversarial_video_tpu.engine import AttackConfig, AttackEngine
     from flickering_adversarial_video_tpu.models.i3d import InceptionI3D, init_i3d_params
 
-    model = InceptionI3D(num_classes=400, compute_dtype=compute_dtype)
+    model = InceptionI3D(
+        num_classes=400, compute_dtype=compute_dtype, packed_stem=packed_stem
+    )
     variables = init_i3d_params(jax.random.key(0), frames=FRAMES, size=SIZE)
     spec = FlickerSpec(frames=FRAMES)
     engine = AttackEngine(
@@ -161,8 +163,10 @@ def main():
     engine, model, variables = build_engine(jnp.bfloat16)
     optimized = time_optimized(engine, batch)
 
-    # reference protocol replays the f32 multi-fetch session loop
-    _, model_f32, variables_f32 = build_engine(jnp.float32)
+    # reference protocol replays the f32 multi-fetch session loop on the
+    # naive (unpacked-stem) model — the implementation the reference's own
+    # conv lowering corresponds to
+    _, model_f32, variables_f32 = build_engine(jnp.float32, packed_stem=False)
     baseline = time_reference_protocol(model_f32, variables_f32, batch)
     baseline_feed = time_reference_protocol(
         model_f32, variables_f32, batch, feed_per_step=True
