@@ -125,6 +125,7 @@ class AttackEngine:
         # Sharding flows in through the argument placements: init_state puts
         # state replicated, shard() puts batches data-sharded; jit propagates.
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_eval_step = jax.jit(self._train_eval_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._forward = jax.jit(self._forward_impl, static_argnames=("adversarial",))
 
@@ -297,6 +298,37 @@ class AttackEngine:
             metrics["probs"] = probs
         return new_state, metrics
 
+    def _train_eval_step_impl(
+        self,
+        state: AttackState,
+        batch: Dict[str, jax.Array],
+        flags: RuntimeFlags,
+        key: jax.Array,
+    ) -> Tuple[AttackState, Dict[str, jax.Array]]:
+        """Train step + fooling counters in ONE program: the torch loop's
+        clean-forward + adv-forward + backward per batch (model.py:697-713)
+        fused — the clean forward shares the compiled graph and the batch
+        never leaves HBM.  Requires track_probs (adv probs reused for the
+        miss counter)."""
+        state, metrics = self._train_step_impl(state, batch, flags, key)
+        x = self._normalize(batch["video"])
+        clean_logits = self.apply_fn(self.variables, x)
+        clean_probs = jax.nn.softmax(clean_logits, axis=-1)
+        adv_probs = metrics["probs"] if "probs" in metrics else None
+        if adv_probs is None:
+            raise ValueError("train_eval_step requires track_probs=True")
+        miss, valid = metrics_lib.fooling_counts(
+            adv_probs,
+            clean_probs,
+            batch["labels"],
+            targeted=self.config.targeted,
+            target_class=self.config.target_class,
+            exclude_misclassify=self.config.exclude_misclassify,
+        )
+        metrics["miss"] = miss
+        metrics["valid"] = valid
+        return state, metrics
+
     def _eval_step_impl(
         self,
         delta: jax.Array,
@@ -348,6 +380,9 @@ class AttackEngine:
 
     def train_step(self, state, batch, flags: RuntimeFlags, key) -> Tuple[AttackState, Dict]:
         return self._train_step(state, batch, flags, key)
+
+    def train_eval_step(self, state, batch, flags: RuntimeFlags, key) -> Tuple[AttackState, Dict]:
+        return self._train_eval_step(state, batch, flags, key)
 
     def eval_step(self, delta, batch, flags: RuntimeFlags, key) -> Dict:
         return self._eval_step(delta, batch, flags, key)

@@ -95,14 +95,23 @@ def fit_universal_epochs(
                     {k: v for k, v in batch.items() if k != "paths"}
                 )
                 k = jax.random.fold_in(key, epoch * 100003 + i)
-                if phase == "train":
-                    state, metrics = engine.train_step(
+                if phase == "train" and engine.track_probs:
+                    # fused train + fooling counters (one XLA program)
+                    state, metrics = engine.train_eval_step(
                         state, sharded, epoch_flags, k
                     )
                     losses.append(float(metrics["total_loss"]))
-                ev = engine.eval_step(state.delta, sharded, epoch_flags, k)
-                miss += int(ev["miss"])
-                valid_count += int(ev["valid"])
+                    miss += int(metrics["miss"])
+                    valid_count += int(metrics["valid"])
+                else:
+                    if phase == "train":
+                        state, metrics = engine.train_step(
+                            state, sharded, epoch_flags, k
+                        )
+                        losses.append(float(metrics["total_loss"]))
+                    ev = engine.eval_step(state.delta, sharded, epoch_flags, k)
+                    miss += int(ev["miss"])
+                    valid_count += int(ev["valid"])
             timer.tick()
             pert = np.asarray(
                 engine._reg_delta(state.delta, epoch_flags)

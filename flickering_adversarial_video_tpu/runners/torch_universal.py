@@ -62,7 +62,7 @@ def run(
         learning_rate=lr,
         target_class=loss_cfg.get("target_class"),
     )
-    engine = AttackEngine(apply_fn, variables, spec, cfg, track_probs=False)
+    engine = AttackEngine(apply_fn, variables, spec, cfg, track_probs=True)
     flags = RuntimeFlags(
         beta0=loss_cfg.get("lambda_", 1.0),
         beta1=loss_cfg.get("beta_1", 0.5),

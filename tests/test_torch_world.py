@@ -168,6 +168,22 @@ class TestPerVideoSweep:
 
 
 class TestEpochFit:
+    def test_train_eval_step_counts_match_separate(self, rng):
+        import jax.numpy as jnp
+        engine = make_engine(track_probs=True)
+        batch = self_labeled_batch(rng, engine, b=2)
+        sharded = {k: jnp.asarray(v) for k, v in batch.items() if k != "paths"}
+        flags = RuntimeFlags(max_norm=0.2)
+        key = jax.random.key(0)
+        s1 = engine.init_state(jax.random.key(1))
+        s1b, m = engine.train_eval_step(s1, sharded, flags, key)
+        assert int(m["valid"]) == 2  # self-labeled batch: all valid
+        assert 0 <= int(m["miss"]) <= 2
+        # the fused step's update must equal the plain step's
+        s2 = engine.init_state(jax.random.key(1))
+        s2b, _ = engine.train_step(s2, sharded, flags, key)
+        np.testing.assert_allclose(np.asarray(s1b.delta), np.asarray(s2b.delta), atol=1e-6)
+
     def test_schema_and_resume(self, rng, tmp_path):
         engine = make_engine()
         batch = self_labeled_batch(rng, engine, b=2)
