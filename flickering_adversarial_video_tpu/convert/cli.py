@@ -1,0 +1,69 @@
+"""Checkpoint conversion CLI + msgpack weight cache.
+
+Convert once, load fast forever:
+  python -m flickering_adversarial_video_tpu.convert.cli i3d \
+      /ckpts/rgb_imagenet/model.ckpt --out i3d_kinetics400.msgpack
+  python -m flickering_adversarial_video_tpu.convert.cli r2plus1d_18 \
+      /ckpts/r2plus1d_18.pth --out r2plus1d_18.msgpack
+
+The msgpack file stores the full Flax variables pytree
+(flax.serialization.msgpack_serialize); `load_variables` restores it without
+TensorFlow or torch present.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict
+
+import numpy as np
+
+
+def save_variables(variables: Dict[str, Any], path: str) -> None:
+    import flax.serialization
+
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(variables))
+
+
+def load_variables(path: str) -> Dict[str, Any]:
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+def convert(model_name: str, ckpt_path: str) -> Dict[str, Any]:
+    if model_name == "i3d":
+        from .tf_i3d import convert_i3d_checkpoint
+
+        return convert_i3d_checkpoint(ckpt_path)
+    from .torch_video_resnet import convert_video_resnet_state_dict
+
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_video_resnet_state_dict(
+        {k: np.asarray(v) for k, v in sd.items()}, model_name
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("model", choices=["i3d", "r3d_18", "mc3_18", "r2plus1d_18"])
+    p.add_argument("ckpt", help="TF checkpoint prefix (i3d) or torch state_dict file")
+    p.add_argument("--out", required=True, help="output .msgpack path")
+    args = p.parse_args(argv)
+    variables = convert(args.model, args.ckpt)
+    save_variables(variables, args.out)
+    n = sum(
+        np.prod(x.shape)
+        for x in __import__("jax").tree_util.tree_leaves(variables)
+    )
+    print(f"wrote {args.out} ({n/1e6:.1f}M values)")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,11 @@ def build_victim(
 
     variables = None
     if ckpt_path:
-        if model_name == "i3d":
+        if str(ckpt_path).endswith(".msgpack") and os.path.exists(ckpt_path):
+            from ..convert.cli import load_variables
+
+            variables = load_variables(ckpt_path)
+        elif model_name == "i3d":
             index = ckpt_path + ".index"
             if os.path.exists(index) or os.path.exists(ckpt_path):
                 from ..convert import convert_i3d_checkpoint

@@ -123,3 +123,20 @@ def test_on_disk_checkpoint(ref_variables, rng, tmp_path):
     np.testing.assert_array_equal(
         w, var_map["RGB/inception_i3d/Mixed_4f/Branch_1/Conv3d_0b_3x3/conv_3d/w"]
     )
+
+
+def test_msgpack_cache_roundtrip(ref_variables, tmp_path):
+    from flickering_adversarial_video_tpu.convert.cli import (
+        load_variables,
+        save_variables,
+    )
+
+    path = str(tmp_path / "w.msgpack")
+    save_variables(ref_variables, path)
+    restored = load_variables(path)
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref_variables)
+    got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, restored)
+    assert ref_shapes == got_shapes
+    w0 = np.asarray(ref_variables["params"]["Conv3d_1a_7x7"]["conv_3d"]["kernel"])
+    w1 = np.asarray(restored["params"]["Conv3d_1a_7x7"]["conv_3d"]["kernel"])
+    np.testing.assert_array_equal(w0, w1)
