@@ -103,6 +103,7 @@ def single_video_attack(
     label: int,
     flags: RuntimeFlags,
     *,
+    target_label: Optional[int] = None,
     max_step: int = 2500,
     stop_rule: str = "reference",
     hard_cap: Optional[int] = None,
@@ -113,13 +114,17 @@ def single_video_attack(
 ) -> Optional[Dict[str, Any]]:
     """Attack one clip until fooled (C8 semantics).
 
-    Returns None when the clean model misclassifies the clip (skip rule,
-    single_video_npy.py:137-139), else a result dict in the reference's
-    res_dict schema (single_video_npy.py:314-334).
+    `label` is the TRUE class (the clean-prediction skip check uses it,
+    single_video_npy.py:137-139); for targeted attacks `target_label` is the
+    class the attack drives toward and is what the loss/stop-rule see (the
+    reference feeds the target id through its labels placeholder,
+    :164-175).  Returns None when the clean model misclassifies the clip,
+    else a result dict in the reference's res_dict schema (:314-334).
     """
+    attack_label = label if target_label is None else target_label
     batch = {
         "video": clip if clip.ndim == 5 else clip[None],
-        "labels": np.asarray([label], np.int64),
+        "labels": np.asarray([attack_label], np.int64),
     }
     batch = engine.shard(batch)
     key = jax.random.key(seed)

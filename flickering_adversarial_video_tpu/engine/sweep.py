@@ -64,8 +64,16 @@ def fit_single_video(
     """Attack one clip in the mean/std world.  Returns None when the clean
     model misclassifies it (model.py:1031-1033)."""
     key = jax.random.key(seed)
-    sharded = engine.shard({k: v for k, v in batch.items() if k != "paths"})
     label = int(np.asarray(batch["labels"])[0])
+    # targeted attacks optimize toward config.target_class; the loss reads
+    # the labels tensor, so feed the target there (the clean-prediction skip
+    # below still checks the TRUE label — model.py:1031-1033)
+    attack_labels = np.asarray(batch["labels"])
+    if engine.config.targeted and engine.config.target_class is not None:
+        attack_labels = np.full_like(attack_labels, engine.config.target_class)
+    sharded = engine.shard(
+        {"video": batch["video"], "labels": attack_labels}
+    )
 
     zero_state = engine.init_state(jax.random.key(seed))
     clean_probs = np.asarray(

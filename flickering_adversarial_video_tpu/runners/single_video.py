@@ -43,14 +43,16 @@ def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_v
             print(f"skip {video_path}: unknown class {correct_cls!r}")
             continue
         label = labels.index(correct_cls)
+        target_label = None
         if attack_cfg.TARGETED_ATTACK:
-            label = labels.index(attack_cfg.TARGETED_CLASS)
+            target_label = labels.index(attack_cfg.TARGETED_CLASS)
 
         res = single_video_attack(
             engine,
             clip,
             label,
             flags,
+            target_label=target_label,
             max_step=int(attack_cfg.MAX_NUM_STEP),
             stop_rule=stop_rule,
             seed=k,
