@@ -23,7 +23,6 @@ Wire format recap:
 
 from __future__ import annotations
 
-import struct
 from typing import Dict, Tuple, Union
 
 import numpy as np

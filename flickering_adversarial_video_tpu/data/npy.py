@@ -9,7 +9,7 @@ pre_process_rgb_flow.py:239-257).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

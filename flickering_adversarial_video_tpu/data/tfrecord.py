@@ -27,7 +27,7 @@ from __future__ import annotations
 import glob
 import os
 import struct
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 

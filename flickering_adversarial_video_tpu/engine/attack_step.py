@@ -22,7 +22,6 @@ scalars* — hot-swappable per step with zero recompilation.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct

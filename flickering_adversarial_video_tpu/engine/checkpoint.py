@@ -19,8 +19,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .attack_step import AttackState

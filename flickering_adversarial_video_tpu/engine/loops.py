@@ -25,7 +25,6 @@ import time
 from typing import Any, Callable, Dict, Iterable, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .attack_step import AttackEngine, AttackState, RuntimeFlags

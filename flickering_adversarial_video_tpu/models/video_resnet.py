@@ -30,7 +30,7 @@ Inputs are mean/std-normalized pixels in [B, T, H, W, 3]
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
 
 from ..data.npy import list_npy_videos, load_npy_clip, parse_label_from_filename
 from ..engine.loops import flags_from_config, single_video_attack

@@ -15,7 +15,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax.numpy as jnp
 
@@ -23,7 +22,6 @@ from ..attack import TorchStyleFlickerSpec
 from ..data.video_dataset import VideoDataset, records_from_split_file
 from ..engine import AttackConfig, AttackEngine, RuntimeFlags
 from ..engine.epoch_fit import find_resume, fit_universal_epochs
-from ..utils.labels import load_label_map
 from .common import build_victim, enable_compilation_cache
 
 # per-model batch sizes (r2plus1d_main_universal_attack.py:130-149)
