@@ -242,18 +242,33 @@ def batched_attack_loop(
             writer.scalar("Eval/fooling_ratio", ev["miss_rate"], step)
         return ev
 
+    def sharded_train_batches():
+        """Decode/parse + device placement on a producer thread so the host
+        pipeline overlaps with device steps (double-buffered; the reference
+        pays a full host->device round trip inside every sess.run)."""
+        from ..data.video_dataset import PrefetchIterator
+
+        def produce():
+            for batch in train_batches_fn():
+                if targeted_label is not None:
+                    batch = {
+                        **batch,
+                        "labels": np.full_like(batch["labels"], targeted_label),
+                    }
+                yield engine.shard(batch)
+
+        return PrefetchIterator(produce(), depth=2)
+
     ev = run_eval()
     epoch = 0
     while step < max_steps:
         epoch += 1
-        for batch in train_batches_fn():
+        for batch_on_device in sharded_train_batches():
             if step >= max_steps:
                 break
-            if targeted_label is not None:
-                batch = {**batch, "labels": np.full_like(batch["labels"], targeted_label)}
             timer.tick()
             state, metrics = engine.train_step(
-                state, engine.shard(batch), flags, jax.random.fold_in(key, step)
+                state, batch_on_device, flags, jax.random.fold_in(key, step)
             )
             step += 1
             if step % log_every == 0 or step == 1:
