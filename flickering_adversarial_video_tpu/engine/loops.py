@@ -215,6 +215,7 @@ def batched_attack_loop(
     targeted_label: Optional[int] = None,
     seed: int = 0,
     start_step: int = 0,
+    dashboard=None,
 ) -> Dict[str, Any]:
     """Shared engine for class-gen (epoch cadence) and universal (step cadence).
 
@@ -240,6 +241,8 @@ def batched_attack_loop(
         history["fool_rate_steps"].append(step)
         if writer is not None:
             writer.scalar("Eval/fooling_ratio", ev["miss_rate"], step)
+        if dashboard is not None:
+            dashboard.add_fooling(step, ev["miss_rate"])
         return ev
 
     def sharded_train_batches():
@@ -282,6 +285,8 @@ def batched_attack_loop(
                     history[k].append(m[k])
                 if writer is not None:
                     writer.attack_step_scalars(m, step)
+                if dashboard is not None:
+                    dashboard.update(step, m)
             if checkpointer is not None and checkpoint_every and step % checkpoint_every == 0:
                 checkpointer.save(state)
         if epoch % eval_every_epochs == 0:

@@ -22,7 +22,7 @@ from ..viz.results import save_result_pkl
 from .common import build_engine, enable_compilation_cache
 
 
-def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_videos=None):
+def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_videos=None, dashboard_path=None):
     attack_cfg = cfg.SINGLE_VIDEO_ATTACK
     engine, labels = build_engine(attack_cfg, cfg.MODEL, frames=frames, size=size)
     flags = flags_from_config(attack_cfg)
@@ -46,6 +46,14 @@ def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_v
         if attack_cfg.TARGETED_ATTACK:
             target_label = labels.index(attack_cfg.TARGETED_CLASS)
 
+        log_fn = None
+        if dashboard_path:
+            from ..viz.live import LiveDashboard
+
+            dash = LiveDashboard(
+                title=correct_cls, save_path=dashboard_path, refresh_every=100
+            )
+            log_fn = dash.update
         res = single_video_attack(
             engine,
             clip,
@@ -55,6 +63,7 @@ def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_v
             max_step=int(attack_cfg.MAX_NUM_STEP),
             stop_rule=stop_rule,
             seed=k,
+            log_fn=log_fn,
         )
         if res is None:
             print(f"skip video {video_path}: clean model misclassifies")

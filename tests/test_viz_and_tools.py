@@ -203,3 +203,21 @@ class TestVerifiedNpySet:
         assert parse_label_from_filename(written[0]) == "class a"
         clip = load_npy_clip(written[0], frames=6)
         assert clip.shape == (1, 6, 224, 224, 3)
+
+
+class TestLiveDashboard:
+    def test_updates_and_saves(self, tmp_path):
+        from flickering_adversarial_video_tpu.viz.live import LiveDashboard
+
+        dash = LiveDashboard(refresh_every=5, save_path=str(tmp_path / "dash.png"))
+        for step in range(11):
+            dash.update(step, {
+                "total_loss": 1.0 / (step + 1), "adv_loss": 0.5 / (step + 1),
+                "reg_loss": 0.1, "norm_reg": 0.05, "diff_norm_reg": 0.02,
+                "laplacian_norm_reg": 0.01, "thickness": 0.02, "roughness": 0.01,
+                "prob_to_min": 0.4, "prob_to_max": 0.3,
+            })
+        dash.add_fooling(10, 0.5)
+        dash.render()
+        dash.close()
+        assert os.path.getsize(tmp_path / "dash.png") > 0
