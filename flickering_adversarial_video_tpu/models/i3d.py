@@ -121,8 +121,24 @@ class PackedStemUnit3D(nn.Module):
         kernel = _StemKernel(
             (7, 7, 7, cin, self.output_channels), name="conv_3d"
         )()
-        packed = _pack_stem_input(x.astype(self.compute_dtype))
-        pk = _pack_stem_kernel(kernel).astype(self.compute_dtype)
+        deep = x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0
+        if deep:
+            # Deep pack (T by 2, H/W by 4 with output sub-positions):
+            # C_in 3 -> 96 and C_out 64 -> 256 fill the MXU's input AND
+            # output lanes; output depth-to-space restores the geometry.
+            from ..ops.space_to_depth import (
+                depth_to_space_hw,
+                pack_input_factors,
+                pack_stem_kernel_deep,
+            )
+
+            packed = pack_input_factors(x.astype(self.compute_dtype), (2, 4, 4))
+            pk = pack_stem_kernel_deep(kernel).astype(self.compute_dtype)
+            spatial_pads = [(1, 1), (1, 1)]
+        else:
+            packed = _pack_stem_input(x.astype(self.compute_dtype))
+            pk = _pack_stem_kernel(kernel).astype(self.compute_dtype)
+            spatial_pads = [(1, 2), (1, 2)]
         # Temporal unroll: run the packed conv as 4 temporal-tap 2D convs with
         # T folded into the batch — XLA's 2D conv (and its transposed form in
         # the backward) is markedly faster than the 3D lowering (measured
@@ -136,12 +152,16 @@ class PackedStemUnit3D(nn.Module):
                 sl,
                 pk[m],
                 window_strides=(1, 1),
-                padding=[(1, 2), (1, 2)],
+                padding=spatial_pads,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=self.compute_dtype,
             )
             y = ym if y is None else y + ym
         y = y.reshape(b, tt, hh, ww, -1)
+        if deep:
+            from ..ops.space_to_depth import depth_to_space_hw
+
+            y = depth_to_space_hw(y, 2)
         y = nn.BatchNorm(
             use_running_average=True,
             use_scale=False,

@@ -99,6 +99,94 @@ def pack_conv_spatial(
     return kp, pad_h, pad_w
 
 
+def pack_input_factors(x: jax.Array, factors: Sequence[int]) -> jax.Array:
+    """Pack (T, H, W) blocks of the given per-axis factors into channels.
+
+    x: [B, T, H, W, C] -> [B, T/ft, H/fh, W/fw, ft*fh*fw*C], channel order
+    (parity_t, parity_h, parity_w, C).
+    """
+    b, t, h, w, c = x.shape
+    ft, fh, fw = factors
+    x = x.reshape(b, t // ft, ft, h // fh, fh, w // fw, fw, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, t // ft, h // fh, w // fw, ft * fh * fw * c)
+
+
+def _deep_stem_index_maps():
+    """Static scatter maps for the deep-packed I3D stem kernel.
+
+    Original: [7,7,7,Cin,Cout], stride (2,2,2), SAME pads (2,*) per axis at
+    even extents (input position = 2*out + j - 2).
+    Deep packing: T by 2 (as pack_kernel_axis: tap mt=jt//2, parity pt=jt%2,
+    4 taps, packed pads (1,2)); H and W by 4 with output sub-position
+    s in {0,1} per axis: position p = 2(2u+s) + j - 2 = 4u + (2s + j - 2),
+    so cell offset m = floor((2s+j-2)/4) in {-1,0,1} (3 taps, pads (1,1))
+    and in-cell parity q = (2s+j-2) mod 4.
+
+    Returns integer arrays (dst_tap, dst_par, dst_sub, src_tap) flattened
+    over all (jt, jh, jw, sh, sw) combinations, for one vectorized .at[].set:
+      dst_tap: (mt*3 + (mh+1))*3 + (mw+1)        in [0, 4*3*3)
+      dst_par: (pt*4 + qh)*4 + qw                in [0, 32)
+      dst_sub: sh*2 + sw                         in [0, 4)
+      src_tap: (jt*7 + jh)*7 + jw                in [0, 343)
+    """
+    import numpy as np
+
+    dst_tap, dst_par, dst_sub, src_tap = [], [], [], []
+    for jt in range(7):
+        mt, pt = jt // 2, jt % 2
+        for jh in range(7):
+            for jw in range(7):
+                for sh in range(2):
+                    vh = 2 * sh + jh - 2
+                    mh, qh = vh // 4, vh % 4
+                    for sw in range(2):
+                        vw = 2 * sw + jw - 2
+                        mw, qw = vw // 4, vw % 4
+                        dst_tap.append((mt * 3 + (mh + 1)) * 3 + (mw + 1))
+                        dst_par.append((pt * 4 + qh) * 4 + qw)
+                        dst_sub.append(sh * 2 + sw)
+                        src_tap.append((jt * 7 + jh) * 7 + jw)
+    return (
+        np.asarray(dst_tap),
+        np.asarray(dst_par),
+        np.asarray(dst_sub),
+        np.asarray(src_tap),
+    )
+
+
+_DEEP_MAPS = None
+
+
+def pack_stem_kernel_deep(kernel: jax.Array) -> jax.Array:
+    """[7,7,7,Cin,Cout] -> [4,3,3, 32*Cin, 4*Cout] for the deep-packed stem.
+
+    Input channel order (pt,qh,qw,Cin) matches pack_input_factors(x,(2,4,4));
+    output channel order (sh,sw,Cout) is unpacked by depth_to_space_hw.
+    Packed conv pads: T (1,2), H (1,1), W (1,1), stride 1.
+    """
+    global _DEEP_MAPS
+    if _DEEP_MAPS is None:
+        _DEEP_MAPS = _deep_stem_index_maps()
+    dst_tap, dst_par, dst_sub, src_tap = _DEEP_MAPS
+    kt, kh, kw, cin, cout = kernel.shape
+    assert (kt, kh, kw) == (7, 7, 7), (kt, kh, kw)
+    k_flat = kernel.reshape(343, cin, cout)
+    deep = jnp.zeros((4 * 3 * 3, 32, cin, 4, cout), kernel.dtype)
+    deep = deep.at[dst_tap, dst_par, :, dst_sub, :].set(k_flat[src_tap])
+    deep = deep.reshape(4, 3, 3, 32 * cin, 4 * cout)
+    return deep
+
+
+def depth_to_space_hw(y: jax.Array, factor: int = 2) -> jax.Array:
+    """[B,T,Hc,Wc,f*f*C] -> [B,T,f*Hc,f*Wc,C], sub-position order (sh,sw,C)."""
+    b, t, hc, wc, fc = y.shape
+    c = fc // (factor * factor)
+    y = y.reshape(b, t, hc, wc, factor, factor, c)
+    y = y.transpose(0, 1, 2, 4, 3, 5, 6)
+    return y.reshape(b, t, hc * factor, wc * factor, c)
+
+
 def pack_conv_spatiotemporal(
     kernel: jax.Array, pad_lo: Tuple[int, int, int]
 ) -> Tuple[jax.Array, Tuple[Tuple[int, int], ...]]:
