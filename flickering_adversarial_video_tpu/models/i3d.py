@@ -114,6 +114,10 @@ class PackedStemUnit3D(nn.Module):
 
     output_channels: int = 64
     compute_dtype: Any = jnp.float32
+    # 4x spatial pack with output depth-to-space: fills MXU lanes both ways
+    # but inflates stem FLOPs 3.4x — measured net-slower (145 vs 127 ms/step
+    # at T=64 B=8), kept as an option for other geometries.
+    deep_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -121,7 +125,7 @@ class PackedStemUnit3D(nn.Module):
         kernel = _StemKernel(
             (7, 7, 7, cin, self.output_channels), name="conv_3d"
         )()
-        deep = x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0
+        deep = self.deep_stem and x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0
         if deep:
             # Deep pack (T by 2, H/W by 4 with output sub-positions):
             # C_in 3 -> 96 and C_out 64 -> 256 fill the MXU's input AND
