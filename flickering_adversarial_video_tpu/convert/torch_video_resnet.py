@@ -51,10 +51,13 @@ def _bn(sd: Mapping[str, Any], prefix: str):
     return params, stats
 
 
+_LAYER_COUNTS = {"18": (2, 2, 2, 2), "34": (3, 4, 6, 3)}
+
+
 def _convert_conv_seq(sd, prefix: str, variant: str):
     """One conv_builder instance: simple/no_temporal are a bare Conv3d; 2plus1
     is Sequential(conv_s, bn_mid, relu, conv_t)."""
-    if variant == "r2plus1d_18":
+    if variant.startswith("r2plus1d"):
         bn_p, bn_s = _bn(sd, f"{prefix}.1")
         params = {
             "conv_s": {"kernel": _conv_kernel(sd[f"{prefix}.0.weight"])},
@@ -74,7 +77,7 @@ def convert_video_resnet_state_dict(
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
-    if variant == "r2plus1d_18":
+    if variant.startswith("r2plus1d"):
         bn_s_p, bn_s_s = _bn(sd, "stem.1")
         bn_t_p, bn_t_s = _bn(sd, "stem.4")
         params["stem"] = {
@@ -92,8 +95,9 @@ def convert_video_resnet_state_dict(
         }
         stats["stem"] = {"bn": bn_s}
 
+    counts = _LAYER_COUNTS[variant.rsplit("_", 1)[1]]
     for layer in range(1, 5):
-        for block in range(2):
+        for block in range(counts[layer - 1]):
             t_prefix = f"layer{layer}.{block}"
             f_name = f"layer{layer}/block{block}"
             bp: Dict[str, Any] = {}

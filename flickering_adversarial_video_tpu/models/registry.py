@@ -47,10 +47,12 @@ def _vr_factory(variant):
 MODEL_REGISTRY: Dict[str, ModelSpec] = {
     # I3D: 90-frame 224x224 clips (kinetics_i3d_utils.py:9-12)
     "i3d": ModelSpec(_i3d_factory, "tanh", 90, 224),
-    # torch models: 16-frame 112x112 clips (r2plus1d_main_universal_attack.py:112-141)
+    # torch models: 16-frame 112x112 clips (r2plus1d_main_universal_attack.py:112-141);
+    # r2plus1d_34 (torch.hub ig65m/kinetics, model.py:46-52) uses 32 frames
     "r3d_18": ModelSpec(_vr_factory("r3d_18"), "meanstd", 16, 112),
     "mc3_18": ModelSpec(_vr_factory("mc3_18"), "meanstd", 16, 112),
     "r2plus1d_18": ModelSpec(_vr_factory("r2plus1d_18"), "meanstd", 16, 112),
+    "r2plus1d_34": ModelSpec(_vr_factory("r2plus1d_34"), "meanstd", 32, 112),
 }
 
 

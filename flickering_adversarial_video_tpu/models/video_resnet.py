@@ -247,11 +247,17 @@ class R2Plus1DStem(nn.Module):
         return nn.relu(x)
 
 
-class VideoResNet(nn.Module):
-    """Generic 18-layer video ResNet.
+# BasicBlock counts per stage: 18-layer [2,2,2,2]; 34-layer [3,4,6,3]
+# (the reference's torch.hub r2plus1d_34 ig65m/kinetics victims, model.py:47-52).
+_LAYER_COUNTS = {"18": (2, 2, 2, 2), "34": (3, 4, 6, 3)}
 
-    `variant` in {'r3d_18', 'mc3_18', 'r2plus1d_18'}; __call__ takes
-    [B, T, H, W, 3] normalized input, returns [B, num_classes] logits.
+
+class VideoResNet(nn.Module):
+    """Generic video ResNet (BasicBlock).
+
+    `variant` in {'r3d_18', 'mc3_18', 'r2plus1d_18', 'r2plus1d_34'};
+    __call__ takes [B, T, H, W, 3] normalized input, returns
+    [B, num_classes] logits.
     """
 
     variant: str = "r3d_18"
@@ -259,11 +265,12 @@ class VideoResNet(nn.Module):
     compute_dtype: Any = jnp.float32
 
     def _stage_convs(self) -> Tuple[str, str, str, str]:
-        if self.variant == "r3d_18":
+        family = self.variant.rsplit("_", 1)[0]
+        if family == "r3d":
             return ("simple",) * 4
-        if self.variant == "mc3_18":
+        if family == "mc3":
             return ("simple", "no_temporal", "no_temporal", "no_temporal")
-        if self.variant == "r2plus1d_18":
+        if family == "r2plus1d":
             return ("2plus1",) * 4
         raise ValueError(f"unknown variant {self.variant}")
 
@@ -271,21 +278,25 @@ class VideoResNet(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         dt = self.compute_dtype
         x = x.astype(dt)
-        if self.variant == "r2plus1d_18":
+        if self.variant.startswith("r2plus1d"):
             x = R2Plus1DStem(dt, name="stem")(x)
         else:
             x = R3DStem(dt, name="stem")(x)
 
         convs = self._stage_convs()
+        depth = self.variant.rsplit("_", 1)[1]
+        counts = _LAYER_COUNTS[depth]
         planes = (64, 128, 256, 512)
         in_planes = 64
-        for i, (p, conv) in enumerate(zip(planes, convs), start=1):
-            stride = 1 if i == 1 else 2
-            x = BasicBlock(
-                in_planes, p, conv, stride, dt, name=f"layer{i}/block0"
-            )(x)
-            x = BasicBlock(p, p, conv, 1, dt, name=f"layer{i}/block1")(x)
-            in_planes = p
+        for i, (p, conv, n_blocks) in enumerate(
+            zip(planes, convs, counts), start=1
+        ):
+            for b in range(n_blocks):
+                stride = 2 if (i > 1 and b == 0) else 1
+                x = BasicBlock(
+                    in_planes, p, conv, stride, dt, name=f"layer{i}/block{b}"
+                )(x)
+                in_planes = p
 
         x = jnp.mean(x, axis=(1, 2, 3))  # global avgpool over T,H,W
         x = nn.Dense(
@@ -304,3 +315,9 @@ def mc3_18(num_classes: int = 400, compute_dtype: Any = jnp.float32) -> VideoRes
 
 def r2plus1d_18(num_classes: int = 400, compute_dtype: Any = jnp.float32) -> VideoResNet:
     return VideoResNet("r2plus1d_18", num_classes, compute_dtype)
+
+
+def r2plus1d_34(num_classes: int = 400, compute_dtype: Any = jnp.float32) -> VideoResNet:
+    """The torch.hub ig65m/kinetics victim family (model.py:46-52); pass
+    num_classes 359/487 for the ig65m checkpoints."""
+    return VideoResNet("r2plus1d_34", num_classes, compute_dtype)

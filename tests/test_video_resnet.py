@@ -72,10 +72,13 @@ class TorchBasicBlock(nn.Module):
         return self.relu(out + residual)
 
 
+LAYER_COUNTS = {"18": (2, 2, 2, 2), "34": (3, 4, 6, 3)}
+
+
 class TorchVideoResNet(nn.Module):
     def __init__(self, variant, num_classes=400):
         super().__init__()
-        if variant == "r2plus1d_18":
+        if variant.startswith("r2plus1d"):
             self.stem = nn.Sequential(
                 nn.Conv3d(3, 45, (1, 7, 7), stride=(1, 2, 2), padding=(0, 3, 3), bias=False),
                 nn.BatchNorm3d(45),
@@ -97,15 +100,15 @@ class TorchVideoResNet(nn.Module):
                 else ["simple", "no_temporal", "no_temporal", "no_temporal"]
             )
         planes = [64, 128, 256, 512]
+        counts = LAYER_COUNTS[variant.rsplit("_", 1)[1]]
         inplanes = 64
-        for i, (p, kind) in enumerate(zip(planes, kinds), start=1):
-            stride = 1 if i == 1 else 2
-            layer = nn.Sequential(
-                TorchBasicBlock(inplanes, p, kind, stride),
-                TorchBasicBlock(p, p, kind, 1),
-            )
-            setattr(self, f"layer{i}", layer)
-            inplanes = p
+        for i, (p, kind, n) in enumerate(zip(planes, kinds, counts), start=1):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (i > 1 and b == 0) else 1
+                blocks.append(TorchBasicBlock(inplanes, p, kind, stride))
+                inplanes = p
+            setattr(self, f"layer{i}", nn.Sequential(*blocks))
         self.fc = nn.Linear(512, num_classes)
 
     def forward(self, x):
@@ -134,7 +137,7 @@ def randomize(model, seed):
                 m.bias.normal_(0, 0.05, generator=g)
 
 
-@pytest.mark.parametrize("variant", ["r3d_18", "mc3_18", "r2plus1d_18"])
+@pytest.mark.parametrize("variant", ["r3d_18", "mc3_18", "r2plus1d_18", "r2plus1d_34"])
 def test_forward_parity(variant, rng):
     torch_model = TorchVideoResNet(variant)
     randomize(torch_model, seed=7)
