@@ -1,0 +1,105 @@
+"""Grain input pipeline — the JAX-native host loader (P5/P6 equivalence).
+
+Alternative to tfrecord_batches/make_tf_dataset: a grain DataLoader over an
+index of (shard, offset) record positions, with multi-worker parallel decode,
+deterministic seeded shuffling and epoch semantics.  The record index is
+built once per shard set by scanning the TFRecord framing (lengths only, no
+payload parse), so random access into shards is O(1) seeks.
+
+Yields the same {'video': uint8 [B,T,H,W,C], 'labels': int64 [B]} batches the
+attack loops consume.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def build_record_index(shards: Sequence[str]) -> List[Tuple[str, int, int]]:
+    """[(path, byte_offset, record_len)] for every record in the shard set."""
+    index = []
+    for path in shards:
+        with open(path, "rb") as f:
+            offset = 0
+            while True:
+                header = f.read(12)
+                if len(header) < 12:
+                    break
+                (length,) = struct.unpack("<Q", header[:8])
+                index.append((path, offset + 12, length))
+                f.seek(length + 4, 1)
+                offset += 12 + length + 4
+    return index
+
+
+class TFRecordRandomAccessSource:
+    """grain RandomAccessDataSource over a tfrecord record index."""
+
+    def __init__(
+        self,
+        shards: Sequence[str],
+        frames: Optional[int] = None,
+        height: int = 224,
+        width: int = 224,
+    ):
+        self._index = build_record_index(shards)
+        self._frames = frames
+        self._height = height
+        self._width = width
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, i: int):
+        from .tfrecord import parse_example_uint8
+
+        path, offset, length = self._index[int(i)]
+        with open(path, "rb") as f:
+            f.seek(offset)
+            record = f.read(length)
+        video, label = parse_example_uint8(
+            record, height=self._height, width=self._width
+        )
+        if self._frames is not None:
+            video = video[-self._frames :]
+        return {"video": video, "label": np.int64(label)}
+
+
+def grain_batches(
+    shards: Sequence[str],
+    batch_size: int,
+    *,
+    frames: Optional[int] = None,
+    height: int = 224,
+    width: int = 224,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_epochs: Optional[int] = 1,
+    worker_count: int = 0,
+):
+    """grain DataLoader yielding attack-loop batches.
+
+    worker_count > 0 decodes records in parallel child processes (the
+    DataLoader's own workers — the reference's num_workers=16 DataLoader
+    role, common/gpu.py:57-67)."""
+    import grain.python as gp
+
+    source = TFRecordRandomAccessSource(shards, frames, height, width)
+    sampler = gp.IndexSampler(
+        num_records=len(source),
+        shard_options=gp.NoSharding(),
+        shuffle=shuffle,
+        num_epochs=num_epochs,
+        seed=seed,
+    )
+    loader = gp.DataLoader(
+        data_source=source,
+        sampler=sampler,
+        operations=[gp.Batch(batch_size=batch_size, drop_remainder=True)],
+        worker_count=worker_count,
+    )
+    for batch in loader:
+        yield {"video": batch["video"], "labels": batch["label"]}

@@ -196,3 +196,45 @@ class TestPipeline:
         videos, labels = next(iter(ds))
         assert videos.shape == (2, 5, 224, 224, 3)
         assert videos.dtype == tf.uint8
+
+
+class TestGrainPipeline:
+    def test_grain_batches(self, rng, tmp_path):
+        pytest.importorskip("grain")
+        from flickering_adversarial_video_tpu.data.grain_pipeline import (
+            build_record_index,
+            grain_batches,
+        )
+
+        paths = []
+        for s in range(2):
+            p = str(tmp_path / f"g{s}.tfrecords")
+            with TFRecordWriter(p) as w:
+                for i in range(3):
+                    w.write(make_uint8_example(random_clip(rng, t=5), s * 3 + i))
+            paths.append(p)
+
+        index = build_record_index(paths)
+        assert len(index) == 6
+
+        batches = list(
+            grain_batches(paths, 2, frames=4, height=6, width=6, shuffle=False)
+        )
+        assert len(batches) == 3
+        assert batches[0]["video"].shape == (2, 4, 6, 6, 3)
+        assert batches[0]["video"].dtype == np.uint8
+        all_labels = sorted(int(l) for b in batches for l in b["labels"])
+        assert all_labels == list(range(6))
+
+    def test_grain_shuffle_deterministic(self, rng, tmp_path):
+        pytest.importorskip("grain")
+        from flickering_adversarial_video_tpu.data.grain_pipeline import grain_batches
+
+        p = str(tmp_path / "gs.tfrecords")
+        with TFRecordWriter(p) as w:
+            for i in range(8):
+                w.write(make_uint8_example(random_clip(rng, t=2), i))
+        order1 = [int(l) for b in grain_batches([p], 2, height=6, width=6, seed=3) for l in b["labels"]]
+        order2 = [int(l) for b in grain_batches([p], 2, height=6, width=6, seed=3) for l in b["labels"]]
+        assert order1 == order2
+        assert sorted(order1) == list(range(8))
