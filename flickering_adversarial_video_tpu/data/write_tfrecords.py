@@ -29,7 +29,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..utils.labels import load_label_map
-from .tfrecord import TFRecordWriter, make_uint8_example
+from .tfrecord import TFRecordWriter, make_float_example, make_uint8_example
 from .video import video_to_frames
 
 
@@ -123,6 +123,37 @@ def write_shuffled_shards(
     if writer is not None:
         writer.close()
     return shards
+
+
+def write_split_list_shard(
+    split_list_path: str,
+    video_root: str,
+    out_path: str,
+    class_names: List[str],
+    *,
+    frames: int = 90,
+    class_filter: Optional[List[str]] = None,
+) -> int:
+    """UCF-style float-schema writer (pre_process_rgb_flow.py:269-307):
+    read '<class>/<video>' lines from a test-list file, preprocess each clip
+    (256-resize / 224-crop / x/128-1) and write FloatList records; clips
+    shorter than frames-1 are skipped (:300-301).  Returns records written.
+    """
+    with open(split_list_path) as f:
+        entries = [line.strip() for line in f if line.strip()]
+    if class_filter:
+        entries = [e for e in entries if any(c in e for c in class_filter)]
+    written = 0
+    with TFRecordWriter(out_path) as w:
+        for entry in entries:
+            cls, vid = entry.split("/", 1)
+            label = class_names.index(cls.replace("_", " "))
+            clip = video_to_frames(os.path.join(video_root, vid), n_steps=frames)
+            if clip is None or clip.shape[1] < frames - 1:
+                continue
+            w.write(make_float_example(clip[0], label))
+            written += 1
+    return written
 
 
 def main(argv=None):

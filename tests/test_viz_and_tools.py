@@ -221,3 +221,31 @@ class TestLiveDashboard:
         dash.render()
         dash.close()
         assert os.path.getsize(tmp_path / "dash.png") > 0
+
+
+class TestSplitListFloatWriter:
+    def test_float_schema_split_writer(self, rng, tmp_path):
+        pytest.importorskip("cv2")
+        from flickering_adversarial_video_tpu.data.tfrecord import (
+            parse_example_float,
+            read_records,
+        )
+        from flickering_adversarial_video_tpu.data.write_tfrecords import (
+            write_split_list_shard,
+        )
+
+        root = tmp_path / "ucf"
+        (root / "ApplyEyeMakeup").mkdir(parents=True)
+        frames = [rng.integers(0, 255, (240, 320, 3), dtype=np.uint8) for _ in range(10)]
+        _write_mp4(root / "ApplyEyeMakeup" / "v1.mp4", frames)
+        split = tmp_path / "testlist.txt"
+        split.write_text("ApplyEyeMakeup/ApplyEyeMakeup/v1.mp4\n")
+        out = str(tmp_path / "out.tfrecords")
+        n = write_split_list_shard(
+            str(split), str(root), out, ["ApplyEyeMakeup", "Other"], frames=6
+        )
+        assert n == 1
+        recs = list(read_records(out))
+        video, label = parse_example_float(recs[0])
+        assert label == 0 and video.shape == (6, 224, 224, 3)
+        assert -1.0 <= video.min() and video.max() <= 1.0
