@@ -143,29 +143,34 @@ class PackedStemUnit3D(nn.Module):
             packed = _pack_stem_input(x.astype(self.compute_dtype))
             pk = _pack_stem_kernel(kernel).astype(self.compute_dtype)
             spatial_pads = [(1, 2), (1, 2)]
-        # Temporal unroll: run the packed conv as 4 temporal-tap 2D convs with
-        # T folded into the batch — XLA's 2D conv (and its transposed form in
-        # the backward) is markedly faster than the 3D lowering (measured
-        # 81ms -> 51ms fwd+bwd for this stem at T=64 B=8).
-        b, tt, hh, ww, c = packed.shape
-        xpad = jnp.pad(packed, ((0, 0), (1, 2), (0, 0), (0, 0), (0, 0)))
-        y = None
-        for m in range(pk.shape[0]):
-            sl = xpad[:, m : m + tt].reshape(b * tt, hh, ww, c)
-            ym = jax.lax.conv_general_dilated(
-                sl,
-                pk[m],
-                window_strides=(1, 1),
-                padding=spatial_pads,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=self.compute_dtype,
-            )
-            y = ym if y is None else y + ym
-        y = y.reshape(b, tt, hh, ww, -1)
         if deep:
+            # Temporal unroll with the generic pads (deep path keeps autodiff).
+            b, tt, hh, ww, c = packed.shape
+            xpad = jnp.pad(packed, ((0, 0), (1, 2), (0, 0), (0, 0), (0, 0)))
+            y = None
+            for m in range(pk.shape[0]):
+                sl = xpad[:, m : m + tt].reshape(b * tt, hh, ww, c)
+                ym = jax.lax.conv_general_dilated(
+                    sl,
+                    pk[m],
+                    window_strides=(1, 1),
+                    padding=spatial_pads,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.compute_dtype,
+                )
+                y = ym if y is None else y + ym
+            y = y.reshape(b, tt, hh, ww, -1)
             from ..ops.space_to_depth import depth_to_space_hw
 
             y = depth_to_space_hw(y, 2)
+        else:
+            # Temporally-unrolled 2D convs with a hand-packed transposed-conv
+            # backward (ops/space_to_depth.py packed_stem_conv): the input
+            # gradient is produced 2x2-output-packed at full MXU lane width
+            # instead of the autodiff transposed conv's 24 output channels.
+            from ..ops.space_to_depth import packed_stem_conv
+
+            y = packed_stem_conv(packed, pk)
         y = nn.BatchNorm(
             use_running_average=True,
             use_scale=False,

@@ -22,6 +22,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pack_input(x: jax.Array, axes: Sequence[int]) -> jax.Array:
@@ -185,6 +186,127 @@ def depth_to_space_hw(y: jax.Array, factor: int = 2) -> jax.Array:
     y = y.reshape(b, t, hc, wc, factor, factor, c)
     y = y.transpose(0, 1, 2, 4, 3, 5, 6)
     return y.reshape(b, t, hc * factor, wc * factor, c)
+
+
+def _stem_bwd_axis_maps():
+    """Static maps for the packed transposed-conv stem backward.
+
+    Forward (per temporal tap): y[u] = sum_a k[a] xp[u + a - 1] (pads (1,2));
+    backward: dxp[v] = sum_a k[a]^T g[v + 1 - a].  Packing both v = 2c+s and
+    the gradient positions 2d+q gives cell taps n = d - c = (s+1-a-q)/2 in
+    {-1,0,1} whenever s+1-a-q is even — a 3-tap conv with input channels
+    (q, C_out) and output channels (s, C_in), both MXU-wide.
+    Returns (n+1, q, s, a) index arrays over the valid combinations.
+    """
+    import numpy as np
+
+    ns, qs, ss, aa = [], [], [], []
+    for a in range(4):
+        for s in range(2):
+            for q in range(2):
+                num = s + 1 - a - q
+                if num % 2 == 0:
+                    ns.append(num // 2 + 1)
+                    qs.append(q)
+                    ss.append(s)
+                    aa.append(a)
+    return np.asarray(ns), np.asarray(qs), np.asarray(ss), np.asarray(aa)
+
+
+def build_stem_bwd_kernel(pk_tap: jax.Array) -> jax.Array:
+    """Transposed-conv kernel for one temporal tap of the packed stem.
+
+    pk_tap: [4, 4, Cin, Cout] (one T-tap of the packed forward kernel)
+    -> [3, 3, 4*Cout, 4*Cin] for a stride-1 pads-(1,1) conv over the
+    2x2-packed upstream gradient, producing the 2x2-packed input gradient
+    (unpack with depth_to_space_hw)."""
+    nh, qh, sh, ah = _stem_bwd_axis_maps()
+    _, _, cin, cout = pk_tap.shape
+    kt = jnp.transpose(pk_tap, (0, 1, 3, 2))  # [4,4,Cout,Cin]
+    # combine the two spatial axes' maps via outer product of valid entries
+    n = len(nh)
+    kb = jnp.zeros((3, 3, 2, 2, cout, 2, 2, cin), pk_tap.dtype)
+    # dims: [n_h, n_w, q_h, q_w, Cout, s_h, s_w, Cin]
+    idx_nh = jnp.asarray(np.repeat(nh, n))
+    idx_nw = jnp.asarray(np.tile(nh, n))
+    idx_qh = jnp.asarray(np.repeat(qh, n))
+    idx_qw = jnp.asarray(np.tile(qh, n))
+    idx_sh = jnp.asarray(np.repeat(sh, n))
+    idx_sw = jnp.asarray(np.tile(sh, n))
+    idx_ah = jnp.asarray(np.repeat(ah, n))
+    idx_aw = jnp.asarray(np.tile(ah, n))
+    kb = kb.at[idx_nh, idx_nw, idx_qh, idx_qw, :, idx_sh, idx_sw, :].set(
+        kt[idx_ah, idx_aw]
+    )
+    return kb.reshape(3, 3, 4 * cout, 4 * cin)
+
+
+def _stem_fwd_impl(xp: jax.Array, pk: jax.Array) -> jax.Array:
+    """Temporally-unrolled packed stem conv: xp [B,T',H',W',Cin] with the
+    4-tap packed kernel pk [4,4,4,Cin,Cout], pads T (1,2) / spatial (1,2)."""
+    b, tt, hh, ww, c = xp.shape
+    cout = pk.shape[-1]
+    xpad = jnp.pad(xp, ((0, 0), (1, 2), (0, 0), (0, 0), (0, 0)))
+    y = None
+    for m in range(4):
+        sl = xpad[:, m : m + tt].reshape(b * tt, hh, ww, c)
+        ym = jax.lax.conv_general_dilated(
+            sl,
+            pk[m],
+            window_strides=(1, 1),
+            padding=[(1, 2), (1, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xp.dtype,
+        )
+        y = ym if y is None else y + ym
+    return y.reshape(b, tt, hh, ww, cout)
+
+
+@jax.custom_vjp
+def packed_stem_conv(xp: jax.Array, pk: jax.Array) -> jax.Array:
+    """Packed stem conv with a hand-packed transposed-conv backward.
+
+    The autodiff backward emits transposed convs whose OUTPUT has only Cin=24
+    channels (3/16 of the MXU lanes); the custom rule computes the input
+    gradient as a 2x2-output-packed conv with 4*Cout input and 4*Cin output
+    channels instead (~full lanes), then depth-to-space unpacks it.
+
+    NOTE: the kernel cotangent is ZERO — the victim is frozen by design
+    (the attack differentiates wrt delta only); do not reuse this op where
+    weight gradients are needed.
+    """
+    return _stem_fwd_impl(xp, pk)
+
+
+def _packed_stem_fwd(xp, pk):
+    return _stem_fwd_impl(xp, pk), (xp.shape, pk)
+
+
+def _packed_stem_bwd(res, g):
+    shape, pk = res
+    b, tt, hh, ww, cin = shape
+    cout = pk.shape[-1]
+    g = g.astype(pk.dtype)
+    gp = pack_input(g, axes=(2, 3))  # [B, T', H'/2, W'/2, 4*Cout]
+    gpad = jnp.pad(gp, ((0, 0), (2, 1), (0, 0), (0, 0), (0, 0)))
+    acc = None
+    for m in range(4):
+        kb = build_stem_bwd_kernel(pk[m])  # [3,3,4*Cout,4*Cin]
+        sl = gpad[:, 3 - m : 3 - m + tt].reshape(b * tt, hh // 2, ww // 2, 4 * cout)
+        d = jax.lax.conv_general_dilated(
+            sl,
+            kb,
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=pk.dtype,
+        )
+        acc = d if acc is None else acc + d
+    dxp = depth_to_space_hw(acc.reshape(b, tt, hh // 2, ww // 2, 4 * cin), 2)
+    return dxp, jnp.zeros_like(pk)
+
+
+packed_stem_conv.defvjp(_packed_stem_fwd, _packed_stem_bwd)
 
 
 def pack_conv_spatiotemporal(

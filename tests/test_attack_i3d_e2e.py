@@ -35,7 +35,10 @@ def i3d_engine():
     k = variables["params"]["Logits/Conv3d_0c_1x1"]["conv_3d"]["kernel"]
     variables["params"]["Logits/Conv3d_0c_1x1"]["conv_3d"]["kernel"] = k * 300.0
     spec = FlickerSpec(frames=FRAMES)
-    cfg = AttackConfig(learning_rate=2e-2)
+    # logit-mode hinge: pushes decisively PAST the decision boundary (the
+    # prob-mode hinge parks at p_min ~= p_max, making the discrete argmax
+    # crossing flaky under 1e-7 numeric jitter)
+    cfg = AttackConfig(learning_rate=2e-2, use_logits=True)
     return AttackEngine(
         lambda v, x: model.apply(v, x)[0], variables, spec, cfg
     )
@@ -60,13 +63,13 @@ def test_single_video_attack_fools_i3d(rng, i3d_engine):
         clip,
         label,
         flags,
-        max_step=150,
+        max_step=250,
         stop_rule="early",
-        hard_cap=150,
+        hard_cap=250,
         track_history=True,
     )
     assert res is not None
-    assert res["is_adversarial"], "attack failed to fool I3D within 150 steps"
+    assert res["is_adversarial"], "attack failed to fool I3D within 250 steps"
     # delta respected the +-0.4 value clip in the applied video
     final = np.asarray(res["perturbation"][-1])
     adv = np.asarray(res["adv_video"])

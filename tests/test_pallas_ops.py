@@ -78,3 +78,43 @@ def test_fallback_on_unsupported_geometry(rng):
     out = fused_normalize_perturb(video, delta, jnp.float32(1.0))
     expected = _jnp_reference(video, delta, 1.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
+
+
+class TestPackedStemCustomBwd:
+    """packed_stem_conv custom VJP must equal autodiff of the unrolled fwd."""
+
+    def test_grad_parity(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_fwd_impl,
+            pack_conv_spatiotemporal,
+            pack_input,
+            packed_stem_conv,
+        )
+
+        x = rng.normal(size=(2, 8, 16, 24, 3)).astype(np.float32)
+        w = (rng.normal(size=(7, 7, 7, 3, 5)) * 0.1).astype(np.float32)
+        xp = pack_input(jnp.asarray(x), axes=(1, 2, 3))
+        pk, _ = pack_conv_spatiotemporal(jnp.asarray(w), (2, 2, 2))
+        g = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 5)).astype(np.float32))
+
+        d_custom = jax.grad(lambda xp: jnp.sum(packed_stem_conv(xp, pk) * g))(xp)
+        d_auto = jax.grad(lambda xp: jnp.sum(_stem_fwd_impl(xp, pk) * g))(xp)
+        np.testing.assert_allclose(
+            np.asarray(d_custom), np.asarray(d_auto), atol=1e-5
+        )
+
+    def test_forward_identical(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_fwd_impl,
+            pack_conv_spatiotemporal,
+            pack_input,
+            packed_stem_conv,
+        )
+
+        x = rng.normal(size=(1, 4, 8, 8, 3)).astype(np.float32)
+        w = (rng.normal(size=(7, 7, 7, 3, 4)) * 0.1).astype(np.float32)
+        xp = pack_input(jnp.asarray(x), axes=(1, 2, 3))
+        pk, _ = pack_conv_spatiotemporal(jnp.asarray(w), (2, 2, 2))
+        np.testing.assert_array_equal(
+            np.asarray(packed_stem_conv(xp, pk)), np.asarray(_stem_fwd_impl(xp, pk))
+        )
