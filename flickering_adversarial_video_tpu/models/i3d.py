@@ -164,13 +164,15 @@ class PackedStemUnit3D(nn.Module):
 
             y = depth_to_space_hw(y, 2)
         else:
-            # Temporally-unrolled 2D convs with a hand-packed transposed-conv
-            # backward (ops/space_to_depth.py packed_stem_conv): the input
-            # gradient is produced 2x2-output-packed at full MXU lane width
-            # instead of the autodiff transposed conv's 24 output channels.
-            from ..ops.space_to_depth import packed_stem_conv
+            # Temporally-unrolled 2D convs (autodiff backward).  A hand-packed
+            # transposed-conv backward exists (ops/space_to_depth.py
+            # packed_stem_conv, exact-parity tested) but measured SLOWER end
+            # to end (153 vs 127 ms/step at T=64 B=8): the gradient's
+            # pack/unpack transposes cost more HBM traffic than the wider
+            # MXU lanes save.  XLA's own transposed conv stays the default.
+            from ..ops.space_to_depth import _stem_fwd_impl
 
-            y = packed_stem_conv(packed, pk)
+            y = _stem_fwd_impl(packed, pk)
         y = nn.BatchNorm(
             use_running_average=True,
             use_scale=False,
