@@ -46,14 +46,35 @@ def _set_nested(tree: Dict[str, Any], path, value) -> None:
     node[path[-1]] = value
 
 
-def _flax_path(ckpt_name: str):
-    """Translate a checkpoint variable name into (collection, flax key path)."""
+def _flax_path(ckpt_name: str, *, bare_names: bool = False):
+    """Translate a checkpoint variable name into (collection, flax key path).
+
+    bare_names handles the Kinetics-600 checkpoints, whose variables lack the
+    RGB/inception_i3d/ prefix (the reference strips it for eval_type='rgb600',
+    kinetics_i3d_utils.py:47-56)."""
     name = ckpt_name
     if name.endswith(":0"):
         name = name[:-2]
+    if bare_names:
+        if name.startswith(_PREFIX):
+            name = name[len(_PREFIX):]
+        parts = name.split("/")
+        if parts[0] not in _KNOWN_TOPS:
+            return None
+        return _translate_parts(parts)
     if not name.startswith(_PREFIX):
         return None
     parts = name[len(_PREFIX):].split("/")
+    return _translate_parts(parts)
+
+
+_KNOWN_TOPS = frozenset(
+    ["Conv3d_1a_7x7", "Conv3d_2b_1x1", "Conv3d_2c_3x3", "Logits"]
+    + [f"Mixed_{s}" for s in ("3b", "3c", "4b", "4c", "4d", "4e", "4f", "5b", "5c")]
+)
+
+
+def _translate_parts(parts):
     # parts examples:
     #   [Conv3d_1a_7x7, conv_3d, w]
     #   [Mixed_3b, Branch_0, Conv3d_0a_1x1, batch_norm, beta]
@@ -72,13 +93,19 @@ def _flax_path(ckpt_name: str):
     return collection, module_path + (op, flax_leaf)
 
 
-def convert_i3d_var_map(var_map: Mapping[str, Any]) -> Dict[str, Any]:
-    """Convert {checkpoint_var_name: ndarray} to Flax variables."""
+def convert_i3d_var_map(
+    var_map: Mapping[str, Any], eval_type: str = "rgb"
+) -> Dict[str, Any]:
+    """Convert {checkpoint_var_name: ndarray} to Flax variables.
+
+    eval_type='rgb600' accepts the Kinetics-600 checkpoints' prefix-less
+    variable names (kinetics_i3d_utils.py:47-56)."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
     matched = 0
+    bare = eval_type == "rgb600"
     for name, value in var_map.items():
-        translated = _flax_path(name)
+        translated = _flax_path(name, bare_names=bare)
         if translated is None:
             continue
         collection, path = translated
@@ -93,11 +120,11 @@ def convert_i3d_var_map(var_map: Mapping[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_i3d_checkpoint(ckpt_path: str) -> Dict[str, Any]:
+def convert_i3d_checkpoint(ckpt_path: str, eval_type: str = "rgb") -> Dict[str, Any]:
     """Read a TF checkpoint from disk and convert (requires tensorflow)."""
     import tensorflow as tf  # local import: only needed for on-disk ckpts
 
     reader = tf.train.load_checkpoint(ckpt_path)
     shapes = reader.get_variable_to_shape_map()
     var_map = {name: reader.get_tensor(name) for name in shapes}
-    return convert_i3d_var_map(var_map)
+    return convert_i3d_var_map(var_map, eval_type=eval_type)

@@ -140,3 +140,16 @@ def test_msgpack_cache_roundtrip(ref_variables, tmp_path):
     w0 = np.asarray(ref_variables["params"]["Conv3d_1a_7x7"]["conv_3d"]["kernel"])
     w1 = np.asarray(restored["params"]["Conv3d_1a_7x7"]["conv_3d"]["kernel"])
     np.testing.assert_array_equal(w0, w1)
+
+
+def test_rgb600_bare_names(ref_variables, rng):
+    """Kinetics-600 checkpoints store prefix-less variable names
+    (kinetics_i3d_utils.py:47-56) — eval_type='rgb600' must map them."""
+    var_map = flax_tree_to_ckpt_names(ref_variables, rng)
+    bare_map = {
+        name[len("RGB/inception_i3d/"):]: v for name, v in var_map.items()
+    }
+    converted = convert_i3d_var_map(bare_map, eval_type="rgb600")
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref_variables)
+    got_shapes = jax.tree_util.tree_map(lambda a: a.shape, converted)
+    assert ref_shapes == got_shapes
