@@ -69,7 +69,8 @@ def _fwd_kernel(c_channels, t_frames, u8_ref, delta_ref, flag_ref, out_ref):
     rows, cols = u8_ref.shape
     row0 = pl.program_id(0) * rows
     col0 = pl.program_id(1) * cols
-    x = u8_ref[...].astype(jnp.float32) * (1.0 / 128.0) - 1.0
+    # Mosaic has no direct uint8->f32 cast; hop through int32.
+    x = u8_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 128.0) - 1.0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) + col0
     chan = (col_ids % c_channels).astype(jnp.int32)
     adv = flag_ref[0]
@@ -91,7 +92,7 @@ def _bwd_kernel(c_channels, t_frames, u8_ref, delta_ref, flag_ref, g_ref, dd_ref
     def _():
         dd_ref[...] = jnp.zeros_like(dd_ref)
 
-    x = u8_ref[...].astype(jnp.float32) * (1.0 / 128.0) - 1.0
+    x = u8_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 128.0) - 1.0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) + col0
     chan = (col_ids % c_channels).astype(jnp.int32)
     adv = flag_ref[0]
