@@ -227,3 +227,31 @@ class TestClassGenRunner:
             res = pickle.load(f)
         for k in ("total_loss_l", "perturbation", "fool_rate", "fatness", "smoothness"):
             assert k in res, k
+
+
+class TestBuildEngineConfigMapping:
+    def test_targeted_and_sparse_and_flags(self, tiny_victim):
+        from flickering_adversarial_video_tpu.runners.common import build_engine
+        from flickering_adversarial_video_tpu.utils.config import default_config
+        from flickering_adversarial_video_tpu.utils.labels import kinetics400_labels
+
+        cfg = default_config()
+        ac = cfg.UNIVERSAL_ATTACK
+        ac.TARGETED_ATTACK = True
+        ac.TARGETED_CLASS = "welding"
+        ac.USE_LOGITS = True
+        ac.IMPROVE_ADV_LOSS = False
+        ac.CYCLIC_ATTACK = True
+        ac.PROB_MARGIN = 0.1
+        engine, labels = build_engine(
+            ac, cfg.MODEL, frames=4, size=16, attack_kind="sparse", use_mesh=False
+        )
+        assert engine.config.targeted
+        assert engine.config.target_class == kinetics400_labels().index("welding")
+        assert engine.config.use_logits
+        assert not engine.config.improve_loss
+        assert engine.config.enable_cyclic
+        assert engine.config.attack_kind == "sparse"
+        assert engine.config.margin == 0.1
+        # sparse spec gets the full spatial geometry
+        assert engine.spec.shape == (4, 16, 16, 3)
