@@ -123,7 +123,7 @@ def init_delta(spec, key: Optional[jax.Array] = None, dtype=jnp.float32) -> jax.
     """
     if isinstance(spec, TorchStyleFlickerSpec):
         if key is None:
-            raise ValueError("TorchStyleFlickerSpec init requires a PRNG key")
+            key = jax.random.key(0)  # deterministic default U(-1e-6,1e-6)
         u = jax.random.uniform(key, spec.shape, dtype=dtype, minval=-1.0, maxval=1.0)
         return u * spec.init_scale
     if isinstance(spec, SparseSpec):
