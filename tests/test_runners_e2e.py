@@ -255,3 +255,28 @@ class TestBuildEngineConfigMapping:
         assert engine.config.margin == 0.1
         # sparse spec gets the full spatial geometry
         assert engine.spec.shape == (4, 16, 16, 3)
+
+
+class TestRunnerCLIs:
+    """argparse smoke tests: every driver's --help must work (catches typos
+    in flag wiring without running attacks)."""
+
+    @pytest.mark.parametrize(
+        "module",
+        [
+            "flickering_adversarial_video_tpu.runners.torch_universal",
+            "flickering_adversarial_video_tpu.runners.torch_per_video",
+            "flickering_adversarial_video_tpu.viz.stats_plots",
+            "flickering_adversarial_video_tpu.viz.aggregate",
+            "flickering_adversarial_video_tpu.data.write_tfrecords",
+            "flickering_adversarial_video_tpu.data.kinetics_download",
+            "flickering_adversarial_video_tpu.convert.cli",
+        ],
+    )
+    def test_help(self, module):
+        import importlib
+
+        mod = importlib.import_module(module)
+        with pytest.raises(SystemExit) as e:
+            mod.main(["--help"])
+        assert e.value.code == 0
