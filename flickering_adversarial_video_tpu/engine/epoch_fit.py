@@ -89,11 +89,17 @@ def fit_universal_epochs(
             valid_count = 0
             losses = []
             batches = train_batches_fn() if phase == "train" else valid_batches_fn()
-            for i, batch in enumerate(batches):
+
+            def _produce(batches=batches):
+                # decode + device placement on a producer thread (overlaps
+                # the mp4 decode with device steps)
+                for b in batches:
+                    yield engine.shard({k: v for k, v in b.items() if k != "paths"})
+
+            from ..data.video_dataset import PrefetchIterator
+
+            for i, sharded in enumerate(PrefetchIterator(_produce(), depth=2)):
                 timer.tick()
-                sharded = engine.shard(
-                    {k: v for k, v in batch.items() if k != "paths"}
-                )
                 k = jax.random.fold_in(key, epoch * 100003 + i)
                 if phase == "train" and engine.track_probs:
                     # fused train + fooling counters (one XLA program)

@@ -16,6 +16,11 @@ TPU-native replacement is one mechanism that supersedes all of it
 
 Multi-host runs get per-host tfrecord shard assignment in data/tfrecord.py
 plus jax.distributed initialization in the runner; nothing here changes.
+
+Sizing note: keep the PER-CHIP batch at ~8 when scaling out (global batch =
+8 * n_chips) — measured on v5e, per-chip batch 4 runs at only ~55% of the
+batch-8 clips/s (PERF.md batch-scaling table), so sharding a fixed global
+batch 8 across many chips wastes most of the mesh.
 """
 
 from __future__ import annotations
