@@ -168,22 +168,24 @@ def main():
     # conv lowering corresponds to
     _, model_f32, variables_f32 = build_engine(jnp.float32, packed_stem=False)
     baseline = time_reference_protocol(model_f32, variables_f32, batch)
-    baseline_feed = time_reference_protocol(
-        model_f32, variables_f32, batch, feed_per_step=True
-    )
 
-    print(
-        json.dumps(
-            {
-                "metric": "attack steps/sec/chip (I3D 64x224x224, batch 8)",
-                "value": round(optimized, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(optimized / baseline, 2),
-                "baseline_reference_protocol_steps_per_s": round(baseline, 3),
-                "baseline_with_per_step_feed_steps_per_s": round(baseline_feed, 3),
-            }
+    result = {
+        "metric": "attack steps/sec/chip (I3D 64x224x224, batch 8)",
+        "value": round(optimized, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(optimized / baseline, 2),
+        "baseline_reference_protocol_steps_per_s": round(baseline, 3),
+    }
+    # The reference's ACTUAL per-sess.run host->device f32 feed costs ~10 min
+    # to measure through a tunneled chip (3x308MB per step); opt-in.
+    # Last measured here: 0.018-0.036 steps/s (~300x slower than optimized).
+    if os.environ.get("BENCH_FEED_BASELINE"):
+        baseline_feed = time_reference_protocol(
+            model_f32, variables_f32, batch, feed_per_step=True
         )
-    )
+        result["baseline_with_per_step_feed_steps_per_s"] = round(baseline_feed, 3)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
