@@ -62,6 +62,15 @@ class AttackConfig:
     # route the tanh-world preprocess+apply through the Pallas fused kernel
     # (ops/fused_apply.py). Requires enable_cyclic=False and uint8 input.
     use_pallas_fused: bool = False
+    # attacked frame window [start, end], inclusive of end, as in the
+    # reference's one-hot mask over [_IND_START, _IND_END]
+    # (kinetics_i3d_utils.py:107-113,122: input_pert = mask_rgb * eps_clip).
+    # None = full window (the reference default _IND_START=0,
+    # _IND_END=_SAMPLE_VIDEO_FRAMES, an identity mask). The mask gates only
+    # the *applied* perturbation; regularizers and metrics act on the raw
+    # delta variable, exactly as the reference's graph does (:177-200 use
+    # self.eps_rgb, not input_pert). tanh (TF/I3D) world only.
+    frame_window: Optional[Tuple[int, int]] = None
 
     @property
     def regularize_clipped(self) -> bool:
@@ -121,6 +130,17 @@ class AttackEngine:
             learning_rate=config.learning_rate
         )
 
+        self._mask = None
+        if config.frame_window is not None:
+            if config.norm_world != "tanh":
+                raise ValueError(
+                    "frame_window is a TF/I3D-world graph feature "
+                    "(kinetics_i3d_utils.py:107-113); the torch Perturbation "
+                    "module has no frame mask"
+                )
+            start, end = config.frame_window
+            self._mask = pert_lib.frame_mask(spec.frames, start, end)
+
         # Sharding flows in through the argument placements: init_state puts
         # state replicated, shard() puts batches data-sharded; jit propagates.
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
@@ -174,6 +194,7 @@ class AttackEngine:
                 adv_flag=flags.adv_flag,
                 cyclic_flag=flags.cyclic_flag,
                 cyclic_pert_flag=flags.cyclic_pert_flag,
+                mask=self._mask,
                 key=key,
             )
         return pert_lib.apply_perturbation_torch_style(
@@ -212,6 +233,8 @@ class AttackEngine:
             from ..ops.fused_apply import fused_normalize_perturb
 
             clipped = pert_lib.clip_delta(self.spec, delta)
+            if self._mask is not None:
+                clipped = clipped * self._mask
             adv = fused_normalize_perturb(
                 video, clipped, jnp.asarray(flags.adv_flag, jnp.float32)
             )

@@ -130,6 +130,10 @@ def build_engine(
         )
         reg_weighting = "torch"
 
+    frame_window = attack_cfg.get("ATTACK_FRAME_WINDOW")
+    if frame_window is not None:
+        frame_window = (int(frame_window[0]), int(frame_window[1]))
+
     cfg = AttackConfig(
         improve_loss=bool(attack_cfg.get("IMPROVE_ADV_LOSS", True)),
         margin=float(attack_cfg.get("PROB_MARGIN", 0.05)),
@@ -145,6 +149,7 @@ def build_engine(
             or attack_cfg.get("CYCLIC_PERTURBATION_ATTACK", False)
         ),
         use_pallas_fused=bool(attack_cfg.get("USE_PALLAS_FUSED", False)),
+        frame_window=frame_window if reg.norm_world == "tanh" else None,
     )
     # mesh over the largest device count that divides the batch (the batch
     # axis is the only sharded axis; an indivisible batch degrades gracefully

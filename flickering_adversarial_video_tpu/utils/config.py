@@ -45,6 +45,9 @@ _COMMON_ATTACK = {
     "BETA_1": 0.5,
     "BETA_2": 0.5,
     "CYCLIC_ATTACK": False,
+    # attacked frame window [start, end] inclusive; null = full clip
+    # (the reference's _IND_START/_IND_END, kinetics_i3d_utils.py:14-15)
+    "ATTACK_FRAME_WINDOW": None,
     "NPY_PATH": "data/videos_for_tests/npy/",
     # TPU extras
     "MODEL_NAME": "i3d",

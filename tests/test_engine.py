@@ -239,3 +239,75 @@ class TestCyclicEngine:
         s = cyc.init_state()
         s, m = cyc.train_step(s, batch, RuntimeFlags(cyclic_flag=1.0), key)
         assert np.isfinite(float(m["total_loss"]))
+
+
+class TestFrameWindow:
+    """ATTACK_FRAME_WINDOW parity with the reference's one-hot mask
+    (kinetics_i3d_utils.py:107-113,122): only frames in [start, end]
+    (inclusive) receive the perturbation, so d(loss)/d(delta) must vanish
+    outside the window and the adversarial video must equal the clean one
+    there."""
+
+    def test_grad_zero_outside_window(self, rng):
+        apply_fn, variables = linear_victim()
+        spec = FlickerSpec(frames=6)
+        cfg = AttackConfig(frame_window=(1, 3))
+        engine = AttackEngine(apply_fn, variables, spec, cfg)
+        batch = make_batch(rng)
+        # beta0=0 isolates the adversarial gradient: regularizers act on the
+        # raw unmasked delta (as in the reference) and would otherwise pull
+        # the outside frames with a (zero-valued but coupled) reg gradient.
+        flags = RuntimeFlags(beta0=0.0)
+        state = engine.init_state()
+        for i in range(10):
+            state, metrics = engine.train_step(state, batch, flags, jax.random.key(i))
+        delta = np.asarray(state.delta)  # [T, 1, 1, 3]
+        inside = delta[1:4]
+        outside = np.concatenate([delta[:1], delta[4:]], axis=0)
+        assert np.abs(inside).max() > 0  # the window is being attacked
+        # Adam on an exactly-zero gradient leaves params exactly at init (0)
+        np.testing.assert_array_equal(outside, np.zeros_like(outside))
+
+    def test_adv_video_clean_outside_window(self, rng):
+        apply_fn, variables = linear_victim()
+        spec = FlickerSpec(frames=6)
+        engine = AttackEngine(
+            apply_fn, variables, spec, AttackConfig(frame_window=(2, 4))
+        )
+        batch = make_batch(rng)
+        flags = RuntimeFlags()
+        # a delta with energy on every frame; mask must gate application
+        delta = jnp.ones(spec.shape, jnp.float32) * 0.3
+        adv = np.asarray(engine.adversarial_video(delta, batch, flags))
+        clean = np.asarray(batch["video"]).astype(np.float32) / 128.0 - 1.0
+        np.testing.assert_allclose(adv[:, :2], clean[:, :2], atol=1e-6)
+        np.testing.assert_allclose(adv[:, 5:], clean[:, 5:], atol=1e-6)
+        assert np.abs(adv[:, 2:5] - clean[:, 2:5]).max() > 0.1
+
+    def test_full_window_is_identity(self, rng):
+        apply_fn, variables = linear_victim()
+        spec = FlickerSpec(frames=6)
+        batch = make_batch(rng)
+        flags = RuntimeFlags()
+        key = jax.random.key(0)
+        plain = AttackEngine(apply_fn, variables, spec, AttackConfig())
+        # reference default: _IND_START=0, _IND_END=_SAMPLE_VIDEO_FRAMES
+        windowed = AttackEngine(
+            apply_fn, variables, spec, AttackConfig(frame_window=(0, 6))
+        )
+        sp, sw = plain.init_state(), windowed.init_state()
+        for i in range(3):
+            sp, _ = plain.train_step(sp, batch, flags, jax.random.key(i))
+            sw, _ = windowed.train_step(sw, batch, flags, jax.random.key(i))
+        np.testing.assert_allclose(np.asarray(sp.delta), np.asarray(sw.delta), atol=1e-7)
+
+    def test_torch_world_rejects_window(self):
+        apply_fn, variables = linear_victim()
+        spec = TorchStyleFlickerSpec(frames=6)
+        with pytest.raises(ValueError):
+            AttackEngine(
+                apply_fn,
+                variables,
+                spec,
+                AttackConfig(norm_world="meanstd", frame_window=(0, 3)),
+            )

@@ -256,6 +256,20 @@ class TestBuildEngineConfigMapping:
         # sparse spec gets the full spatial geometry
         assert engine.spec.shape == (4, 16, 16, 3)
 
+    def test_frame_window_knob(self, tiny_victim):
+        from flickering_adversarial_video_tpu.runners.common import build_engine
+        from flickering_adversarial_video_tpu.utils.config import default_config
+
+        cfg = default_config()
+        ac = cfg.SINGLE_VIDEO_ATTACK
+        ac.ATTACK_FRAME_WINDOW = [1, 2]
+        engine, _ = build_engine(ac, cfg.MODEL, frames=4, size=16, use_mesh=False)
+        assert engine.config.frame_window == (1, 2)
+        import numpy as np
+
+        mask = np.asarray(engine._mask).reshape(-1)
+        np.testing.assert_array_equal(mask, [0.0, 1.0, 1.0, 0.0])
+
 
 class TestRunnerCLIs:
     """argparse smoke tests: every driver's --help must work (catches typos
