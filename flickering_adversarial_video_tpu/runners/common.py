@@ -33,13 +33,24 @@ def build_victim(
     compute_dtype,
     frames: int,
     size: int,
+    num_classes: Optional[int] = None,
+    eval_type: str = "rgb",
 ):
     """(apply_fn, variables).  For I3D, `ckpt_path` is a DeepMind TF
     checkpoint (converted on load, convert/tf_i3d.py); for the torch models a
     torchvision state_dict .pt/.pth (convert/torch_video_resnet.py).  Missing
     checkpoints fall back to random init with a loud warning — the attack
-    machinery is weight-agnostic."""
-    model, spec = create_model(model_name, compute_dtype=compute_dtype)
+    machinery is weight-agnostic.
+
+    eval_type='rgb600' selects the Kinetics-600 I3D world: prefix-less
+    checkpoint variable names (kinetics_i3d_utils.py:47-56) and a 600-way
+    head (NUM_CLASSES=600 when load_i3d_model is built for rgb600)."""
+    if num_classes is None:
+        num_classes = 600 if eval_type == "rgb600" else None
+    model, spec = create_model(
+        model_name, num_classes=num_classes, compute_dtype=compute_dtype
+    )
+    num_classes = num_classes or spec.num_classes
 
     variables = None
     if ckpt_path:
@@ -52,7 +63,7 @@ def build_victim(
             if os.path.exists(index) or os.path.exists(ckpt_path):
                 from ..convert import convert_i3d_checkpoint
 
-                variables = convert_i3d_checkpoint(ckpt_path)
+                variables = convert_i3d_checkpoint(ckpt_path, eval_type=eval_type)
         else:
             if os.path.exists(ckpt_path):
                 import torch
@@ -71,7 +82,9 @@ def build_victim(
             "using random init (attack mechanics only, no meaningful victims)"
         )
         if model_name == "i3d":
-            variables = init_i3d_params(jax.random.key(0), frames=frames, size=size)
+            variables = init_i3d_params(
+                jax.random.key(0), num_classes=num_classes, frames=frames, size=size
+            )
         else:
             variables = model.init(
                 jax.random.key(0), jnp.zeros((1, frames, size, size, 3))
@@ -103,12 +116,25 @@ def build_engine(
     frames = frames or reg.default_frames
     size = size or reg.default_size
     compute_dtype = _DTYPES[attack_cfg.get("COMPUTE_DTYPE", "bfloat16")]
+    eval_type = model_cfg.get("EVAL_TYPE", "rgb")
+    num_classes = model_cfg.get("NUM_CLASSES")
+    if num_classes is None and eval_type == "rgb600":
+        num_classes = 600
 
     apply_fn, variables = build_victim(
-        model_name, model_cfg.get("CKPT_PATH"), compute_dtype, frames, size
+        model_name,
+        model_cfg.get("CKPT_PATH"),
+        compute_dtype,
+        frames,
+        size,
+        num_classes=num_classes,
+        eval_type=eval_type,
     )
 
-    labels = load_label_map(None)
+    labels = load_label_map(
+        model_cfg.get("LABEL_MAP_PATH"),
+        num_classes=num_classes or reg.num_classes,
+    )
     targeted = bool(attack_cfg.get("TARGETED_ATTACK", False))
     target_class = None
     if targeted:

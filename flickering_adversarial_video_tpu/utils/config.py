@@ -60,6 +60,14 @@ _DEFAULTS: Dict[str, Any] = {
     "MODEL": {
         "CKPT_PATH": "data/checkpoints/rgb_imagenet/model.ckpt",
         "CKPT_PATH_WITH_ZERO_PERT": "data/checkpoints/rgb_imagenet_with_zero_pert/model_step_00000",
+        # TPU extras: 'rgb' (Kinetics-400 DeepMind ckpt) or 'rgb600'
+        # (Kinetics-600 ckpt: prefix-less var names + 600-way head,
+        # kinetics_i3d_utils.py:47-56); NUM_CLASSES overrides the head size
+        # (None = from EVAL_TYPE/registry); LABEL_MAP_PATH overrides the
+        # vendored 400/600/101 label maps.
+        "EVAL_TYPE": "rgb",
+        "NUM_CLASSES": None,
+        "LABEL_MAP_PATH": None,
     },
     "SINGLE_VIDEO_ATTACK": {
         **_COMMON_ATTACK,

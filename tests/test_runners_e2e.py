@@ -29,7 +29,7 @@ def tiny_victim(monkeypatch):
     key = jax.random.key(5)
     w = jax.random.normal(key, (3, 400)) * 4.0
 
-    def fake_build_victim(model_name, ckpt_path, compute_dtype, frames, size):
+    def fake_build_victim(model_name, ckpt_path, compute_dtype, frames, size, **kw):
         def apply_fn(variables, x):
             return jnp.mean(x, axis=(1, 2, 3)) @ variables["w"]
 
@@ -255,6 +255,60 @@ class TestBuildEngineConfigMapping:
         assert engine.config.margin == 0.1
         # sparse spec gets the full spatial geometry
         assert engine.spec.shape == (4, 16, 16, 3)
+
+    def test_rgb600_end_to_end(self, rng, tmp_path):
+        """Kinetics-600 path e2e: a synthetic rgb600 checkpoint (prefix-less
+        variable names, kinetics_i3d_utils.py:47-56) on disk -> EVAL_TYPE
+        'rgb600' in the MODEL section -> a 600-way I3D whose targeted class
+        resolves from the vendored K600 label map."""
+        tf = pytest.importorskip("tensorflow")
+        from flickering_adversarial_video_tpu.models.i3d import init_i3d_params
+        from flickering_adversarial_video_tpu.runners.common import build_engine
+        from flickering_adversarial_video_tpu.utils.labels import kinetics600_labels
+        from test_convert_i3d import flax_tree_to_ckpt_names
+
+        variables = init_i3d_params(
+            jax.random.key(0), num_classes=600, frames=FRAMES, size=SIZE
+        )
+        var_map = flax_tree_to_ckpt_names(variables, rng)
+        bare = {k[len("RGB/inception_i3d/"):]: v for k, v in var_map.items()}
+        ckpt_prefix = str(tmp_path / "rgb600" / "model.ckpt")
+        os.makedirs(os.path.dirname(ckpt_prefix))
+        g = tf.Graph()
+        with g.as_default():
+            tf_vars = [
+                tf.compat.v1.get_variable(n, initializer=v) for n, v in bare.items()
+            ]
+            with tf.compat.v1.Session(graph=g) as sess:
+                sess.run(tf.compat.v1.global_variables_initializer())
+                tf.compat.v1.train.Saver(var_list=tf_vars).save(sess, ckpt_prefix)
+
+        cfg = default_config()
+        cfg.MODEL.CKPT_PATH = ckpt_prefix
+        cfg.MODEL.EVAL_TYPE = "rgb600"
+        ac = cfg.SINGLE_VIDEO_ATTACK
+        ac.TARGETED_ATTACK = True
+        # a class that exists ONLY in Kinetics-600
+        ac.TARGETED_CLASS = "acting in play"
+        ac.COMPUTE_DTYPE = "float32"
+        engine, labels = build_engine(
+            ac, cfg.MODEL, frames=FRAMES, size=SIZE, use_mesh=False
+        )
+        assert len(labels) == 600
+        assert engine.config.target_class == kinetics600_labels().index(
+            "acting in play"
+        )
+        batch = {
+            "video": jnp.asarray(_clip(rng)[None]),
+            "labels": jnp.asarray([3]),
+        }
+        from flickering_adversarial_video_tpu.engine import RuntimeFlags
+
+        probs = engine.forward(
+            engine.init_state().delta, batch, RuntimeFlags(), jax.random.key(0)
+        )
+        assert probs.shape == (1, 600)
+        assert np.isfinite(np.asarray(probs)).all()
 
     def test_frame_window_knob(self, tiny_victim):
         from flickering_adversarial_video_tpu.runners.common import build_engine

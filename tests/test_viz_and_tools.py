@@ -249,3 +249,35 @@ class TestSplitListFloatWriter:
         video, label = parse_example_float(recs[0])
         assert label == 0 and video.shape == (6, 224, 224, 3)
         assert -1.0 <= video.min() and video.max() <= 1.0
+
+
+class TestLabelMaps:
+    """Vendored label maps: Kinetics-400 (embedded), Kinetics-600 and UCF-101
+    (reference assets data/label_map_600.txt, data/label_map_ucf_101.txt)."""
+
+    def test_sizes_and_spot_values(self):
+        from flickering_adversarial_video_tpu.utils.labels import (
+            kinetics400_labels,
+            kinetics600_labels,
+            ucf101_labels,
+        )
+
+        k4, k6, ucf = kinetics400_labels(), kinetics600_labels(), ucf101_labels()
+        assert len(k4) == 400 and len(k6) == 600 and len(ucf) == 101
+        assert k4[0] == "abseiling" and k6[0] == "abseiling"
+        assert "acting in play" in k6 and "acting in play" not in k4
+        assert ucf[0] == "ApplyEyeMakeup" and ucf[-1] == "YoYo"
+        assert len(set(k6)) == 600 and len(set(ucf)) == 101
+
+    def test_labels_for_num_classes(self):
+        from flickering_adversarial_video_tpu.utils.labels import (
+            labels_for_num_classes,
+            load_label_map,
+        )
+
+        assert len(labels_for_num_classes(600)) == 600
+        assert len(labels_for_num_classes(101)) == 101
+        assert len(labels_for_num_classes(400)) == 400
+        # path overrides; missing path falls back by num_classes
+        assert len(load_label_map(None, num_classes=600)) == 600
+        assert len(load_label_map("/nonexistent/x.txt", num_classes=101)) == 101
