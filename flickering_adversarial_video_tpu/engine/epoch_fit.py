@@ -9,7 +9,8 @@ dict with the reference's key schema ('train/loss', 'train/fooling_ratio',
 running list and saved as '{model_name}_{epoch:03d}.npy' (model.py:619-623).
 
 LR schedule: step decay with gamma and step_size = ceil(2/3 epochs) by
-default (model.py:496,571-573) — implemented by feeding the decayed rate
+default (model.py:496,571-573), or the one-cycle policy when
+use_one_cycle_policy=True (model.py:559-567) — either way the rate feeds
 through the runtime learning-rate flag, zero recompiles.
 
 Resume: delta + epoch counter recovered from the newest result .npy
@@ -54,6 +55,43 @@ def step_lr(base_lr: float, epoch: int, step_size: int, gamma: float = 0.1) -> f
     return base_lr * (gamma ** ((epoch - 1) // max(step_size, 1)))
 
 
+def one_cycle_lr(
+    max_lr: float,
+    epoch: int,
+    total_epochs: int,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+) -> float:
+    """LR for 1-indexed `epoch` under the reference's one-cycle policy.
+
+    Replicates torch.optim.lr_scheduler.OneCycleLR as the reference
+    constructs it (utils_cv/action_recognition/model.py:559-567:
+    total_steps=epochs, pct_start=warmup_pct, cosine anneal, torch defaults
+    div_factor=25, final_div_factor=1e4), stepped once per epoch: cosine
+    warmup from max_lr/div_factor to max_lr over the first pct_start of
+    training, then cosine anneal down to max_lr/(div_factor*final_div_factor).
+    Since only delta trains, the momentum half of the policy is inert here
+    (Adam betas stay fixed, as the reference's Adam ignores the scheduler's
+    momentum field too)."""
+    step_num = epoch - 1  # scheduler value consumed by epoch e is step e-1
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+
+    def cos_anneal(start: float, end: float, pct: float) -> float:
+        return end + (start - end) / 2.0 * (1.0 + math.cos(math.pi * pct))
+
+    up_steps = pct_start * total_epochs - 1
+    if up_steps <= 0:
+        return max_lr if step_num == 0 else cos_anneal(
+            max_lr, min_lr, step_num / max(total_epochs - 1, 1)
+        )
+    if step_num <= up_steps:
+        return cos_anneal(initial_lr, max_lr, step_num / up_steps)
+    down_steps = (total_epochs - 1) - up_steps
+    return cos_anneal(max_lr, min_lr, (step_num - up_steps) / max(down_steps, 1e-9))
+
+
 def fit_universal_epochs(
     engine: AttackEngine,
     train_batches_fn: Callable[[], Iterable[Dict[str, np.ndarray]]],
@@ -66,6 +104,8 @@ def fit_universal_epochs(
     model_name: str,
     lr_step_size: Optional[int] = None,
     lr_gamma: float = 0.1,
+    use_one_cycle_policy: bool = False,
+    warmup_pct: float = 0.3,
     start_epoch: int = 1,
     state: Optional[AttackState] = None,
     save: bool = True,
@@ -80,7 +120,10 @@ def fit_universal_epochs(
     results: List[Dict[str, Any]] = []
 
     for epoch in range(start_epoch, epochs + 1):
-        epoch_lr = step_lr(lr, epoch, lr_step_size, lr_gamma)
+        if use_one_cycle_policy:
+            epoch_lr = one_cycle_lr(lr, epoch, epochs, pct_start=warmup_pct)
+        else:
+            epoch_lr = step_lr(lr, epoch, lr_step_size, lr_gamma)
         epoch_flags = flags.replace(learning_rate=epoch_lr)
         result: Dict[str, Any] = {}
         for phase in ("train", "valid"):

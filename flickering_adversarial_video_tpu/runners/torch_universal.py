@@ -43,6 +43,8 @@ def run(
     model_dir: str = "checkpoints_torch_universal",
     loss_cfg: dict = None,
     max_batches: int = None,
+    use_one_cycle_policy: bool = False,
+    warmup_pct: float = 0.3,
 ):
     loss_cfg = loss_cfg or {}
     batch_size = batch_size or BATCH_SIZES.get(model_name, 16)
@@ -106,6 +108,8 @@ def run(
         lr=lr,
         model_dir=model_dir,
         model_name=model_name,
+        use_one_cycle_policy=use_one_cycle_policy,
+        warmup_pct=warmup_pct,
         start_epoch=last_epoch + 1,
         state=state,
     )
@@ -122,6 +126,12 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--linf", type=float, default=0.1)
     p.add_argument("--model-dir", default="checkpoints_torch_universal")
+    p.add_argument(
+        "--one-cycle",
+        action="store_true",
+        help="one-cycle LR policy (reference use_one_cycle_policy)",
+    )
+    p.add_argument("--warmup-pct", type=float, default=0.3)
     args = p.parse_args(argv)
     enable_compilation_cache()
     run(
@@ -133,6 +143,8 @@ def main(argv=None):
         lr=args.lr,
         l_inf_norm=args.linf,
         model_dir=args.model_dir,
+        use_one_cycle_policy=args.one_cycle,
+        warmup_pct=args.warmup_pct,
     )
 
 

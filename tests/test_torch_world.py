@@ -215,3 +215,94 @@ class TestEpochFit:
         assert step_lr(1e-3, 1, 10) == 1e-3
         assert step_lr(1e-3, 11, 10) == pytest.approx(1e-4)
         assert step_lr(1e-3, 21, 10) == pytest.approx(1e-5)
+
+
+class TestOneCycleLR:
+    """one_cycle_lr must reproduce torch.optim.lr_scheduler.OneCycleLR as the
+    reference constructs it (model.py:559-567: total_steps=epochs,
+    pct_start=warmup_pct, cosine anneal, stepped once per epoch)."""
+
+    @pytest.mark.parametrize("epochs,pct", [(22, 0.3), (10, 0.3), (8, 0.5)])
+    def test_matches_torch_oracle(self, epochs, pct):
+        import torch
+
+        from flickering_adversarial_video_tpu.engine.epoch_fit import one_cycle_lr
+
+        lr = 1e-3
+        opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+        sched = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=lr, total_steps=epochs, pct_start=pct
+        )
+        for epoch in range(1, epochs + 1):
+            want = opt.param_groups[0]["lr"]  # lr consumed during this epoch
+            got = one_cycle_lr(lr, epoch, epochs, pct_start=pct)
+            assert got == pytest.approx(want, rel=1e-6), (epoch, want, got)
+            if epoch < epochs:
+                sched.step()
+
+    def test_shape(self):
+        from flickering_adversarial_video_tpu.engine.epoch_fit import one_cycle_lr
+
+        lr = 1e-2
+        vals = [one_cycle_lr(lr, e, 20, pct_start=0.3) for e in range(1, 21)]
+        peak = int(np.argmax(vals))
+        assert vals[0] == pytest.approx(lr / 25.0)          # warmup start
+        assert vals[peak] == pytest.approx(lr, rel=1e-3)    # reaches max_lr
+        assert 3 <= peak <= 7                               # ~30% warmup
+        assert vals[-1] < lr / 1000                         # anneals way down
+        assert all(b > a for a, b in zip(vals[:peak], vals[1 : peak + 1]))
+        assert all(b < a for a, b in zip(vals[peak:-1], vals[peak + 1 :]))
+
+    def test_fit_uses_one_cycle(self, rng):
+        """fit_universal_epochs(use_one_cycle_policy=True) must feed the
+        one-cycle rate through the runtime LR flag each epoch."""
+        import jax.numpy as jnp
+
+        from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
+        from flickering_adversarial_video_tpu.engine import (
+            AttackConfig,
+            AttackEngine,
+            RuntimeFlags,
+        )
+        from flickering_adversarial_video_tpu.engine.epoch_fit import (
+            fit_universal_epochs,
+            one_cycle_lr,
+        )
+
+        apply_fn = lambda v, x: jnp.mean(x, axis=(1, 2, 3)) @ v["w"]
+        variables = {"w": jnp.asarray(rng.normal(size=(3, 5)), jnp.float32) * 3}
+        spec = TorchStyleFlickerSpec(frames=4, max_norm=0.2)
+        engine = AttackEngine(
+            apply_fn,
+            variables,
+            spec,
+            AttackConfig(norm_world="meanstd", reg_weighting="torch"),
+        )
+        seen = []
+        orig = engine.train_eval_step
+
+        def spy(state, batch, flags, key):
+            seen.append(float(jnp.asarray(flags.learning_rate)))
+            return orig(state, batch, flags, key)
+
+        engine.train_eval_step = spy
+
+        def batches():
+            v = rng.uniform(0, 1, (2, 4, 8, 8, 3)).astype(np.float32)
+            yield {"video": v, "labels": np.array([0, 1])}
+
+        epochs = 4
+        fit_universal_epochs(
+            engine,
+            batches,
+            batches,
+            RuntimeFlags(max_norm=0.2),
+            epochs=epochs,
+            lr=1e-3,
+            model_dir="/tmp/one_cycle_test",
+            model_name="m",
+            use_one_cycle_policy=True,
+            save=False,
+        )
+        want = [one_cycle_lr(1e-3, e, epochs) for e in range(1, epochs + 1)]
+        assert seen == pytest.approx(want)

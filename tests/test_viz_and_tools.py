@@ -98,6 +98,39 @@ class TestInferenceWrapper:
         assert not np.allclose(p_clean, p_adv)
         np.testing.assert_allclose(p_clean, p_off, atol=1e-6)
 
+    def test_evaluate_inference_statistics(self, rng, capsys):
+        """Per-video inference-time statistics (model.py:1267-1319): timing
+        list, video-level (summed clip outputs) and clip-level predictions,
+        both accuracies."""
+        from flickering_adversarial_video_tpu.attack import FlickerSpec
+        from flickering_adversarial_video_tpu.engine import AttackConfig, AttackEngine
+        from flickering_adversarial_video_tpu.engine.inference import InferenceModel
+
+        w = jax.random.normal(jax.random.key(2), (3, 10))
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2, 3)) @ variables["w"]
+
+        engine = AttackEngine(apply_fn, {"w": w}, FlickerSpec(frames=4), AttackConfig())
+        infer = InferenceModel(engine)
+
+        def samples():
+            for _ in range(3):
+                clips = rng.uniform(-1, 1, (2, 4, 8, 8, 3)).astype(np.float32)
+                # label = the model's own video-level prediction -> acc 1.0
+                probs = infer(clips, adv_flag=0)
+                yield clips, int(probs.sum(axis=0).argmax())
+
+        ret = infer.evaluate(samples())
+        assert len(ret["infer_times"]) == 3
+        assert all(t > 0 for t in ret["infer_times"])
+        assert len(ret["video_preds"]) == len(ret["video_trues"]) == 3
+        assert len(ret["clip_preds"]) == len(ret["clip_trues"]) == 6
+        assert ret["video_accuracy"] == 1.0
+        out = capsys.readouterr().out
+        assert "Avg. inference time per video" in out
+        assert "Video prediction accuracy" in out
+
 
 def _write_mp4(path, frames):
     import cv2
