@@ -49,34 +49,79 @@ def build_engine(compute_dtype, packed_stem=True):
     )
     variables = init_i3d_params(jax.random.key(0), frames=FRAMES, size=SIZE)
     spec = FlickerSpec(frames=FRAMES)
+    apply_packed_fn = None
+    if packed_stem:
+        packed_model = InceptionI3D(
+            num_classes=400, compute_dtype=compute_dtype, prepacked_stem_input=True
+        )
+        apply_packed_fn = lambda v, xp: packed_model.apply(v, xp)[0]
     engine = AttackEngine(
         lambda v, x: model.apply(v, x)[0],
         variables,
         spec,
         AttackConfig(),
         track_probs=False,
+        apply_packed_fn=apply_packed_fn,
     )
     return engine, model, variables
 
 
-def time_optimized(engine, batch):
+def time_optimized(engine, batch, steps=STEPS, warmup=WARMUP):
     from flickering_adversarial_video_tpu.engine import RuntimeFlags
 
     flags = RuntimeFlags()
     state = engine.init_state()
-    dev_batch = {
-        "video": jax.device_put(batch["video"]),
-        "labels": jax.device_put(batch["labels"]),
-    }
+    dev_batch = {k: jax.device_put(v) for k, v in batch.items()}
     key = jax.random.key(0)
-    for _ in range(WARMUP):
+    for _ in range(warmup):
         state, metrics = engine.train_step(state, dev_batch, flags, key)
     jax.block_until_ready(state.delta)
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(steps):
         state, metrics = engine.train_step(state, dev_batch, flags, key)
     jax.block_until_ready(state.delta)
-    return STEPS / (time.perf_counter() - t0)
+    return steps / (time.perf_counter() - t0)
+
+
+def build_i3d_geometry_engine(variables, compute_dtype, frames):
+    """Secondary-geometry engine over the SAME I3D variables (conv params are
+    frame-count agnostic)."""
+    from flickering_adversarial_video_tpu.attack import FlickerSpec
+    from flickering_adversarial_video_tpu.engine import AttackConfig, AttackEngine
+    from flickering_adversarial_video_tpu.models.i3d import InceptionI3D
+
+    model = InceptionI3D(num_classes=400, compute_dtype=compute_dtype)
+    packed_model = InceptionI3D(
+        num_classes=400, compute_dtype=compute_dtype, prepacked_stem_input=True
+    )
+    return AttackEngine(
+        lambda v, x: model.apply(v, x)[0],
+        variables,
+        FlickerSpec(frames=frames),
+        AttackConfig(),
+        track_probs=False,
+        apply_packed_fn=lambda v, xp: packed_model.apply(v, xp)[0],
+    )
+
+
+def build_r2plus1d_engine(compute_dtype, frames=16, size=112):
+    """Torch-world secondary benchmark: r2plus1d_18 universal-attack step
+    (r2plus1d_main_universal_attack.py:130-149 geometry, batch 16)."""
+    from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
+    from flickering_adversarial_video_tpu.engine import AttackConfig, AttackEngine
+    from flickering_adversarial_video_tpu.models.video_resnet import r2plus1d_18
+
+    model = r2plus1d_18(compute_dtype=compute_dtype)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, frames, size, size, 3), jnp.float32)
+    )
+    spec = TorchStyleFlickerSpec(frames=frames, max_norm=0.1)
+    cfg = AttackConfig(
+        norm_world="meanstd", reg_weighting="torch", learning_rate=1e-3
+    )
+    return AttackEngine(
+        model.apply, variables, spec, cfg, track_probs=False
+    )
 
 
 def time_reference_protocol(model, variables, batch, feed_per_step=False):
@@ -176,6 +221,48 @@ def main():
         "vs_baseline": round(optimized / baseline, 2),
         "baseline_reference_protocol_steps_per_s": round(baseline, 3),
     }
+
+    # Host-prepacked input (the production pipeline: the native reader emits
+    # the packed layout during its record copy, tfr_read_batch_packed; the
+    # device program skips the space-to-depth relayout entirely).
+    try:
+        from flickering_adversarial_video_tpu.data.packing import pack_video_np
+
+        packed_batch = {
+            "video_packed": pack_video_np(batch["video"]),
+            "labels": batch["labels"],
+        }
+        result["prepacked_input_steps_per_s"] = round(
+            time_optimized(engine, packed_batch), 3
+        )
+    except Exception as e:
+        result["prepacked_input_error"] = repr(e)[:120]
+
+    # Secondary geometries (extra JSON fields; VERDICT round 1 item 6):
+    # the single-video config (#1: B=1, T=90) and the torch-world universal
+    # step (r2plus1d_18, B=16, 16x112x112).
+    try:
+        sv_engine = build_i3d_geometry_engine(variables, jnp.bfloat16, frames=90)
+        sv_batch = {
+            "video": rng.integers(0, 255, (1, 90, SIZE, SIZE, 3), dtype=np.uint8),
+            "labels": rng.integers(0, 400, (1,), dtype=np.int64),
+        }
+        result["single_video_T90_B1_steps_per_s"] = round(
+            time_optimized(sv_engine, sv_batch, steps=10), 3
+        )
+    except Exception as e:  # secondary metric must not sink the headline
+        result["single_video_T90_B1_error"] = repr(e)[:120]
+    try:
+        r2_engine = build_r2plus1d_engine(jnp.bfloat16)
+        r2_batch = {
+            "video": rng.integers(0, 255, (16, 16, 112, 112, 3), dtype=np.uint8),
+            "labels": rng.integers(0, 400, (16,), dtype=np.int64),
+        }
+        result["r2plus1d_18_T16_B16_steps_per_s"] = round(
+            time_optimized(r2_engine, r2_batch, steps=10), 3
+        )
+    except Exception as e:
+        result["r2plus1d_18_T16_B16_error"] = repr(e)[:120]
     # The reference's ACTUAL per-sess.run host->device f32 feed costs ~10 min
     # to measure through a tunneled chip (3x308MB per step); opt-in.
     # Last measured here: 0.018-0.036 steps/s (~300x slower than optimized).

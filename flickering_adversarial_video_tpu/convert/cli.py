@@ -33,11 +33,15 @@ def load_variables(path: str) -> Dict[str, Any]:
         return flax.serialization.msgpack_restore(f.read())
 
 
-def convert(model_name: str, ckpt_path: str) -> Dict[str, Any]:
+def convert(
+    model_name: str, ckpt_path: str, eval_type: str = "rgb"
+) -> Dict[str, Any]:
+    if str(ckpt_path).endswith(".msgpack"):
+        return load_variables(ckpt_path)
     if model_name == "i3d":
         from .tf_i3d import convert_i3d_checkpoint
 
-        return convert_i3d_checkpoint(ckpt_path)
+        return convert_i3d_checkpoint(ckpt_path, eval_type=eval_type)
     from .torch_video_resnet import convert_video_resnet_state_dict
 
     import torch
@@ -52,17 +56,56 @@ def convert(model_name: str, ckpt_path: str) -> Dict[str, Any]:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("model", choices=["i3d", "r3d_18", "mc3_18", "r2plus1d_18"])
-    p.add_argument("ckpt", help="TF checkpoint prefix (i3d) or torch state_dict file")
-    p.add_argument("--out", required=True, help="output .msgpack path")
-    args = p.parse_args(argv)
-    variables = convert(args.model, args.ckpt)
-    save_variables(variables, args.out)
-    n = sum(
-        np.prod(x.shape)
-        for x in __import__("jax").tree_util.tree_leaves(variables)
+    p.add_argument(
+        "model",
+        choices=["i3d", "r3d_18", "mc3_18", "r2plus1d_18", "r2plus1d_34"],
     )
-    print(f"wrote {args.out} ({n/1e6:.1f}M values)")
+    p.add_argument(
+        "ckpt",
+        help="TF checkpoint prefix (i3d), torch state_dict file, or an "
+        "already-converted .msgpack (for --dump-golden without re-converting)",
+    )
+    p.add_argument("--out", help="output .msgpack path")
+    p.add_argument(
+        "--eval-type",
+        default="rgb",
+        choices=["rgb", "rgb600"],
+        help="I3D checkpoint variable-name world (rgb600 = Kinetics-600, "
+        "prefix-less names; kinetics_i3d_utils.py:47-56)",
+    )
+    p.add_argument(
+        "--dump-golden",
+        metavar="NPZ",
+        help="record canonical-clip logits for these weights into a golden "
+        ".npz that tests/test_real_weight_golden.py verifies forever after "
+        "(see convert/golden.py)",
+    )
+    args = p.parse_args(argv)
+    if not args.out and not args.dump_golden:
+        p.error("nothing to do: pass --out and/or --dump-golden")
+    variables = convert(args.model, args.ckpt, eval_type=args.eval_type)
+    if args.out:
+        save_variables(variables, args.out)
+        n = sum(
+            np.prod(x.shape)
+            for x in __import__("jax").tree_util.tree_leaves(variables)
+        )
+        print(f"wrote {args.out} ({n/1e6:.1f}M values)")
+    if args.dump_golden:
+        from .golden import dump_golden
+
+        weights_file = args.out or args.ckpt
+        if not str(weights_file).endswith(".msgpack"):
+            p.error("--dump-golden needs msgpack weights (pass --out too)")
+        num_classes = 600 if args.eval_type == "rgb600" else None
+        payload = dump_golden(
+            args.model, variables, args.dump_golden, weights_file,
+            num_classes=num_classes,
+        )
+        print(
+            f"wrote golden {args.dump_golden} "
+            f"(top-5 classes: {payload['top5'].tolist()})"
+        )
 
 
 if __name__ == "__main__":

@@ -79,15 +79,33 @@ def grain_batches(
     seed: int = 0,
     num_epochs: Optional[int] = 1,
     worker_count: int = 0,
+    drop_remainder: bool = True,
 ):
     """grain DataLoader yielding attack-loop batches.
 
     worker_count > 0 decodes records in parallel child processes (the
     DataLoader's own workers — the reference's num_workers=16 DataLoader
-    role, common/gpu.py:57-67)."""
+    role, common/gpu.py:57-67).
+
+    Sharp edge (learned the hard way): grain shards the index across workers
+    and each worker batches its shard INDEPENDENTLY — with
+    drop_remainder=True and fewer than batch_size records per worker, every
+    worker drops its partial batch and the loader SILENTLY yields nothing.
+    Keep records >> batch_size * worker_count, or pass
+    drop_remainder=False."""
     import grain.python as gp
 
     source = TFRecordRandomAccessSource(shards, frames, height, width)
+    if worker_count > 0 and drop_remainder:
+        per_worker = len(source) // max(worker_count, 1)
+        if per_worker < batch_size:
+            raise ValueError(
+                f"{len(source)} records over {worker_count} workers gives "
+                f"{per_worker}/worker < batch_size={batch_size}: every worker "
+                "would drop its partial batch and the loader would yield "
+                "nothing; lower worker_count/batch_size or pass "
+                "drop_remainder=False"
+            )
     sampler = gp.IndexSampler(
         num_records=len(source),
         shard_options=gp.NoSharding(),
@@ -98,7 +116,7 @@ def grain_batches(
     loader = gp.DataLoader(
         data_source=source,
         sampler=sampler,
-        operations=[gp.Batch(batch_size=batch_size, drop_remainder=True)],
+        operations=[gp.Batch(batch_size=batch_size, drop_remainder=drop_remainder)],
         worker_count=worker_count,
     )
     for batch in loader:

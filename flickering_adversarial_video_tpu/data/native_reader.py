@@ -54,6 +54,17 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_longlong),
         ctypes.c_long,
     ]
+    lib.tfr_read_batch_packed.restype = ctypes.c_long
+    lib.tfr_read_batch_packed.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_long,
+    ]
     _lib = lib
     return lib
 
@@ -117,6 +128,75 @@ class NativeTFRecordReader:
             )
             videos = videos[:filled].reshape(
                 filled, frames, self.height, self.width, self.channels
+            )
+            return videos, labels[:filled]
+        finally:
+            self.lib.tfr_close(handle)
+
+    def read_parsed_packed(
+        self, path: str, frames: int
+    ) -> Iterator[Tuple[np.ndarray, int]]:
+        """Yield (packed uint8 video [T/2,H/2,W/2,8C], label) per record —
+        space-to-depth done in C++ during the record copy; clips shorter
+        than `frames` are skipped (writer's skip-short rule)."""
+        if frames % 2 or self.height % 2 or self.width % 2:
+            raise ValueError("packed read needs even frames/height/width")
+        handle = self.lib.tfr_open(path.encode(), int(self.verify_crc))
+        if not handle:
+            raise IOError(f"cannot open {path}")
+        record_bytes = frames * self.height * self.width * self.channels
+        shape = (frames // 2, self.height // 2, self.width // 2, 8 * self.channels)
+        try:
+            while True:
+                video = np.empty(record_bytes, np.uint8)
+                label = np.empty((1,), np.int64)
+                filled = self.lib.tfr_read_batch_packed(
+                    handle,
+                    video.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    frames,
+                    self.height,
+                    self.width,
+                    self.channels,
+                    label.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                    1,
+                )
+                if filled == 0:
+                    return
+                yield video.reshape(shape), int(label[0])
+        finally:
+            self.lib.tfr_close(handle)
+
+    def read_batch_packed(
+        self, path: str, frames: int, count: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Bulk-read up to `count` clips, space-to-depth packed in C++ during
+        the per-record copy: [n, T/2, H/2, W/2, 8C] uint8 (the device-native
+        layout of the prepacked attack step, ops/packed_apply.py)."""
+        if frames % 2 or self.height % 2 or self.width % 2:
+            raise ValueError("packed read needs even frames/height/width")
+        handle = self.lib.tfr_open(path.encode(), int(self.verify_crc))
+        if not handle:
+            raise IOError(f"cannot open {path}")
+        try:
+            record_bytes = frames * self.height * self.width * self.channels
+            videos = np.empty((count, record_bytes), np.uint8)
+            labels = np.empty((count,), np.int64)
+            filled = self.lib.tfr_read_batch_packed(
+                handle,
+                videos.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                frames,
+                self.height,
+                self.width,
+                self.channels,
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                count,
+            )
+            videos = videos[:filled].reshape(
+                filled,
+                frames // 2,
+                self.height // 2,
+                self.width // 2,
+                8 * self.channels,
             )
             return videos, labels[:filled]
         finally:

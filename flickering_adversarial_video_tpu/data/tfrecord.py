@@ -52,11 +52,19 @@ def _crc_table():
     return _CRC_TABLE
 
 
+try:  # C-accelerated crc32c (~GB/s); the pure-Python table walk (~1 MB/s)
+    # stays as the dependency-free fallback.
+    from google_crc32c import value as _crc32c_fast
+except Exception:  # pragma: no cover
+    _crc32c_fast = None
+
+
 def crc32c(data: bytes) -> int:
+    if _crc32c_fast is not None:
+        return _crc32c_fast(data)
     table = _crc_table()
     crc = 0xFFFFFFFF
     arr = np.frombuffer(data, np.uint8)
-    # vectorized-ish loop; fine for writers/tests, native reader for bulk IO
     for b in arr.tobytes():
         crc = (crc >> 8) ^ int(table[(crc ^ b) & 0xFF])
     return crc ^ 0xFFFFFFFF
@@ -192,6 +200,7 @@ def tfrecord_batches(
     host_id: int = 0,
     num_hosts: int = 1,
     use_native: bool = True,
+    prepack: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield {'video': uint8/f32 [B,T,H,W,C], 'labels': int64 [B]} batches.
 
@@ -201,7 +210,18 @@ def tfrecord_batches(
     `frames` crops to the trailing `frames` frames (the reference stores
     last-90-frame clips already; single-video path slices again,
     i3d_adversarial_main_single_video_npy.py:121).
+
+    prepack=True yields {'video_packed': [B,T/2,H/2,W/2,8C] uint8} instead —
+    the device-native space-to-depth layout (ops/packed_apply.py), packed on
+    the host (in C++ inside the native reader's record copy, or via
+    data.packing.pack_video_np on the Python path).  Requires `frames` and
+    the uint8 schema with even geometry.
     """
+    if prepack:
+        if schema != "uint8" or frames is None:
+            raise ValueError("prepack needs the uint8 schema and fixed `frames`")
+        if frames % 2 or height % 2 or width % 2:
+            raise ValueError("prepack needs even frames/height/width")
     base_parse = parse_example_uint8 if schema == "uint8" else parse_example_float
 
     def parse(rec):
@@ -221,26 +241,37 @@ def tfrecord_batches(
     def record_iter():
         for _ in range(repeat):
             for shard in my_shards:
-                if reader is not None:
+                if reader is not None and prepack:
+                    yield from reader.read_parsed_packed(shard, frames)
+                elif reader is not None:
                     yield from reader.read_parsed(shard)
                 else:
                     for rec in read_records(shard):
                         yield parse(rec)
 
+    native_packed = reader is not None and prepack
+    key = "video_packed" if prepack else "video"
     videos, labels = [], []
     for video, label in record_iter():
-        if frames is not None:
-            video = video[-frames:]
+        if not native_packed:
+            if frames is not None:
+                if prepack and video.shape[0] < frames:
+                    continue  # skip-short rule, as the native packed path does
+                video = video[-frames:]
+            if prepack:
+                from .packing import pack_video_np
+
+                video = pack_video_np(video)
         videos.append(video)
         labels.append(label)
         if len(videos) == batch_size:
             yield {
-                "video": np.stack(videos),
+                key: np.stack(videos),
                 "labels": np.asarray(labels, np.int64),
             }
             videos, labels = [], []
     if videos and not drop_remainder:
-        yield {"video": np.stack(videos), "labels": np.asarray(labels, np.int64)}
+        yield {key: np.stack(videos), "labels": np.asarray(labels, np.int64)}
 
 
 def make_tf_dataset(

@@ -119,6 +119,7 @@ class AttackEngine:
         config: AttackConfig,
         mesh=None,
         track_probs: bool = True,
+        apply_packed_fn: Optional[Callable[[Any, jax.Array], jax.Array]] = None,
     ):
         self.apply_fn = apply_fn
         self.variables = variables
@@ -126,6 +127,12 @@ class AttackEngine:
         self.config = config
         self.mesh = mesh
         self.track_probs = track_probs
+        # Fast path: victim forward that accepts space-to-depth packed input
+        # (InceptionI3D(prepacked_stem_input=True).apply over the SAME
+        # variables).  When present and the batch is eligible, preprocessing
+        # + delta apply + pack fuse into one packed-space custom-VJP op
+        # (ops/packed_apply.py) — no full-size f32 relayouts fwd or bwd.
+        self.apply_packed_fn = apply_packed_fn
         self.optimizer = optax.inject_hyperparams(optax.adam)(
             learning_rate=config.learning_rate
         )
@@ -155,7 +162,7 @@ class AttackEngine:
         opt_state = self.optimizer.init(delta)
         state = AttackState(delta=delta, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
         if self.mesh is not None:
-            state = jax.device_put(state, mesh_lib.replicated_sharding(self.mesh))
+            state = mesh_lib.put_replicated(self.mesh, state)
         return state
 
     def reset_delta(self, state: AttackState, key: Optional[jax.Array] = None) -> AttackState:
@@ -214,6 +221,64 @@ class AttackEngine:
             return jnp.clip(delta, -flags.max_norm, flags.max_norm)
         return pert_lib.clip_delta(self.spec, delta)
 
+    # ---------- packed fast path ----------
+
+    def _batch_video(self, batch) -> Tuple[jax.Array, bool]:
+        """(video, prepacked): a 'video_packed' key is the HOST-prepacked
+        space-to-depth uint8 layout (native reader / data.packing)."""
+        if "video_packed" in batch:
+            return batch["video_packed"], True
+        return batch["video"], False
+
+    def _packed_supported(self) -> bool:
+        from ..attack.perturbation import FlickerSpec
+
+        return (
+            self.apply_packed_fn is not None
+            and isinstance(self.spec, FlickerSpec)
+            and self.config.norm_world == "tanh"
+            and not self.config.enable_cyclic
+            and not self.config.use_pallas_fused
+        )
+
+    def _packed_eligible(self, video: jax.Array, prepacked: bool = False) -> bool:
+        """Static (trace-time) eligibility for the packed-preprocess path."""
+        from ..ops.packed_apply import packable
+
+        if prepacked:
+            if not self._packed_supported():
+                raise ValueError(
+                    "batch carries 'video_packed' but the engine cannot take "
+                    "the packed path (needs apply_packed_fn + FlickerSpec + "
+                    "tanh world, no cyclic/pallas modes)"
+                )
+            return True
+        return (
+            self._packed_supported()
+            and video.dtype == jnp.uint8
+            and packable(video.shape)
+        )
+
+    def _packed_logits(self, delta, video, flags, prepacked: bool = False) -> jax.Array:
+        """clip/mask delta -> packed fused apply -> prepacked victim forward.
+        With delta=None the clean forward runs through the same fused op
+        (adv_flag=0; the [-1,1] clip is an identity on u8/128-1 inputs)."""
+        from ..ops.packed_apply import apply_flicker_packed, apply_flicker_prepacked
+
+        if delta is None:
+            clipped = jnp.zeros(self.spec.shape, jnp.float32)
+            adv_flag = jnp.float32(0.0)
+        else:
+            clipped = pert_lib.clip_delta(self.spec, delta)
+            if self._mask is not None:
+                clipped = clipped * self._mask
+            adv_flag = jnp.asarray(flags.adv_flag, jnp.float32)
+        op = apply_flicker_prepacked if prepacked else apply_flicker_packed
+        adv_packed = op(
+            video, clipped, adv_flag, self.spec.input_min, self.spec.input_max
+        )
+        return self.apply_packed_fn(self.variables, adv_packed)
+
     # ---------- loss ----------
 
     def _loss_terms(
@@ -223,8 +288,13 @@ class AttackEngine:
         labels: jax.Array,
         flags: RuntimeFlags,
         key: Optional[jax.Array],
+        prepacked: bool = False,
     ):
-        if (
+        if prepacked:
+            self._packed_eligible(video, prepacked=True)  # raises if unsupported
+        if prepacked or self._packed_eligible(video):
+            logits = self._packed_logits(delta, video, flags, prepacked=prepacked)
+        elif (
             self.config.use_pallas_fused
             and self.config.norm_world == "tanh"
             and not self.config.enable_cyclic
@@ -238,10 +308,11 @@ class AttackEngine:
             adv = fused_normalize_perturb(
                 video, clipped, jnp.asarray(flags.adv_flag, jnp.float32)
             )
+            logits = self.apply_fn(self.variables, adv)
         else:
             x = self._normalize(video)
             adv = self._apply_delta(x, delta, flags, key)
-        logits = self.apply_fn(self.variables, adv)
+            logits = self.apply_fn(self.variables, adv)
         adv_total, aux = losses_lib.adversarial_loss(
             logits,
             labels,
@@ -282,8 +353,12 @@ class AttackEngine:
         flags: RuntimeFlags,
         key: jax.Array,
     ) -> Tuple[AttackState, Dict[str, jax.Array]]:
+        video, prepacked = self._batch_video(batch)
+
         def loss_fn(delta):
-            return self._loss_terms(delta, batch["video"], batch["labels"], flags, key)
+            return self._loss_terms(
+                delta, video, batch["labels"], flags, key, prepacked=prepacked
+            )
 
         (total, terms), grad = jax.value_and_grad(loss_fn, has_aux=True)(state.delta)
         opt_state = state.opt_state
@@ -333,8 +408,12 @@ class AttackEngine:
         never leaves HBM.  Requires track_probs (adv probs reused for the
         miss counter)."""
         state, metrics = self._train_step_impl(state, batch, flags, key)
-        x = self._normalize(batch["video"])
-        clean_logits = self.apply_fn(self.variables, x)
+        video, prepacked = self._batch_video(batch)
+        if prepacked or self._packed_eligible(video):
+            clean_logits = self._packed_logits(None, video, flags, prepacked=prepacked)
+        else:
+            x = self._normalize(video)
+            clean_logits = self.apply_fn(self.variables, x)
         clean_probs = jax.nn.softmax(clean_logits, axis=-1)
         adv_probs = metrics["probs"] if "probs" in metrics else None
         if adv_probs is None:
@@ -358,10 +437,15 @@ class AttackEngine:
         flags: RuntimeFlags,
         key: jax.Array,
     ) -> Dict[str, jax.Array]:
-        x = self._normalize(batch["video"])
-        adv = self._apply_delta(x, delta, flags, key)
-        adv_logits = self.apply_fn(self.variables, adv)
-        clean_logits = self.apply_fn(self.variables, x)
+        video, prepacked = self._batch_video(batch)
+        if prepacked or self._packed_eligible(video):
+            adv_logits = self._packed_logits(delta, video, flags, prepacked=prepacked)
+            clean_logits = self._packed_logits(None, video, flags, prepacked=prepacked)
+        else:
+            x = self._normalize(video)
+            adv = self._apply_delta(x, delta, flags, key)
+            adv_logits = self.apply_fn(self.variables, adv)
+            clean_logits = self.apply_fn(self.variables, x)
         adv_probs = jax.nn.softmax(adv_logits, axis=-1)
         clean_probs = jax.nn.softmax(clean_logits, axis=-1)
         miss, valid = metrics_lib.fooling_counts(
@@ -387,7 +471,13 @@ class AttackEngine:
         key: jax.Array,
         adversarial: bool = True,
     ) -> jax.Array:
-        x = self._normalize(batch["video"])
+        video, prepacked = self._batch_video(batch)
+        if prepacked:
+            logits = self._packed_logits(
+                delta if adversarial else None, video, flags, prepacked=True
+            )
+            return jax.nn.softmax(logits, axis=-1)
+        x = self._normalize(video)
         if adversarial:
             x = self._apply_delta(x, delta, flags, key)
         logits = self.apply_fn(self.variables, x)

@@ -266,7 +266,9 @@ def batched_attack_loop(
     epoch = 0
     while step < max_steps:
         epoch += 1
+        batches_this_epoch = 0
         for batch_on_device in sharded_train_batches():
+            batches_this_epoch += 1
             if step >= max_steps:
                 break
             timer.tick()
@@ -289,6 +291,12 @@ def batched_attack_loop(
                     dashboard.update(step, m)
             if checkpointer is not None and checkpoint_every and step % checkpoint_every == 0:
                 checkpointer.save(state)
+        if batches_this_epoch == 0:
+            # an empty pipeline would otherwise spin this while-loop forever
+            raise RuntimeError(
+                "train pipeline yielded no batches (no shards found / all "
+                "records filtered) — check TF_RECORDS_*_PATH (*.tfrecords)"
+            )
         if epoch % eval_every_epochs == 0:
             ev = run_eval()
             history["perturbation"].append(np.asarray(state.delta))

@@ -118,9 +118,34 @@ class PackedStemUnit3D(nn.Module):
     # but inflates stem FLOPs 3.4x — measured net-slower (145 vs 127 ms/step
     # at T=64 B=8), kept as an option for other geometries.
     deep_stem: bool = False
+    # input arrives already space-to-depth packed ([B,T/2,H/2,W/2,8C]): the
+    # engine fused the pack into the uint8 preprocess (ops/packed_apply.py),
+    # killing the f32 relayout copies the apply-time pack costs.
+    prepacked_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.prepacked_input:
+            cin = x.shape[-1] // 8
+            kernel = _StemKernel(
+                (7, 7, 7, cin, self.output_channels), name="conv_3d"
+            )()
+            packed = x.astype(self.compute_dtype)
+            pk = _pack_stem_kernel(kernel).astype(self.compute_dtype)
+            from ..ops.space_to_depth import _stem_fwd_impl
+
+            y = _stem_fwd_impl(packed, pk)
+            y = nn.BatchNorm(
+                use_running_average=True,
+                use_scale=False,
+                use_bias=True,
+                epsilon=1e-3,
+                momentum=0.999,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="batch_norm",
+            )(y)
+            return nn.relu(y)
         cin = x.shape[-1]
         kernel = _StemKernel(
             (7, 7, 7, cin, self.output_channels), name="conv_3d"
@@ -229,13 +254,16 @@ class Unit3D(nn.Module):
 def _max_pool_same(
     x: jax.Array, window: Sequence[int], strides: Sequence[int]
 ) -> jax.Array:
-    """tf.nn.max_pool3d(..., padding='SAME') equivalent over NDHWC."""
-    return nn.max_pool(
-        x,
-        window_shape=tuple(window),
-        strides=tuple(strides),
-        padding="SAME",
-    )
+    """tf.nn.max_pool3d(..., padding='SAME') equivalent over NDHWC.
+
+    Routed through ops/maxpool.py max_pool_same: identical forward values,
+    but the backward replaces XLA's select-and-scatter (28-37 GiB/s on the
+    overlapping stride-1 Inception-branch pools, ~27 ms of the round-1 attack
+    step) with a scatter-free separable routing that reproduces the same
+    first-match tie rule (tests/test_maxpool.py asserts routing equality)."""
+    from ..ops.maxpool import max_pool_same
+
+    return max_pool_same(x, tuple(window), tuple(strides))
 
 
 class InceptionMixed(nn.Module):
@@ -278,6 +306,10 @@ class InceptionI3D(nn.Module):
     # bit-identical math, ~5x faster on the MXU. Requires even T/H/W;
     # falls back to the plain Unit3D stem otherwise.
     packed_stem: bool = True
+    # __call__ receives the video already space-to-depth packed
+    # ([B,T/2,H/2,W/2,24]); parameters are identical to the unpacked model,
+    # so one variables dict serves both (ops/packed_apply.py path).
+    prepacked_stem_input: bool = False
 
     @nn.compact
     def __call__(
@@ -293,8 +325,11 @@ class InceptionI3D(nn.Module):
             end_points[name] = x
             return self.final_endpoint == name
 
-        use_packed = self.packed_stem and all(s % 2 == 0 for s in x.shape[1:4])
-        if use_packed:
+        if self.prepacked_stem_input:
+            x = PackedStemUnit3D(
+                64, compute_dtype=dt, prepacked_input=True, name="Conv3d_1a_7x7"
+            )(x)
+        elif self.packed_stem and all(s % 2 == 0 for s in x.shape[1:4]):
             x = PackedStemUnit3D(64, compute_dtype=dt, name="Conv3d_1a_7x7")(x)
         else:
             x = Unit3D(

@@ -1,0 +1,168 @@
+"""Fused uint8-normalize + flickering-delta apply in *packed* stem space.
+
+Why this exists (xplane evidence, PERF.md round 2): with the space-to-depth
+stem (models/i3d.py PackedStemUnit3D), XLA places the pack transpose AFTER
+the f32 normalize — a 1.5 GB f32 relayout of the whole video at ~70 GiB/s
+(copy.150/151, ~16 ms/step), and the backward unpacks the input gradient
+through the mirror transposes (copy.131/132, ~9 ms/step) only to reduce it
+to the tiny [T,1,1,3] delta gradient.
+
+This module removes every one of those copies:
+
+  * forward: the space-to-depth transpose runs on the raw UINT8 video (4x
+    less traffic than f32), and the normalize (x/128-1, the
+    parse_example_uint8 semantics, pre_process_rgb_flow.py:231-235), the
+    delta add (kinetics_i3d_utils.py:139-142) and the [-1,1] clip happen
+    elementwise in packed layout — XLA fuses them into the stem conv's
+    input, so no extra full-size materialization at all.
+  * backward: the delta cotangent is computed IN PACKED SPACE — the clip
+    mask is recomputed from the packed uint8 residual, the spatial/batch
+    reduction happens on the packed layout, and only the final [T/2,2,2,2,3]
+    -> [T,1,1,3] fold (a few hundred elements) touches unpacked indexing.
+    The [B,T,H,W,3] input-gradient tensor of the naive path never exists.
+
+Exactness: the math is identical to apply_perturbation() on the unpacked
+video (clip->mask->add->clip in f32; the gradient is obtained with jax.vjp
+over the same jnp ops, so even the clip tie-handling matches) — packing is a
+permutation, so results agree up to f32 reduction reassociation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .space_to_depth import pack_input
+
+
+def pack_flicker_delta(delta: jax.Array) -> jax.Array:
+    """[T, 1, 1, C] -> [T/2, 1, 1, 8C] in (parity_t, parity_h, parity_w, C)
+    channel order — matching pack_input(x, axes=(1,2,3)).  The delta has no
+    spatial structure, so the h/w parities are pure broadcast."""
+    t, _, _, c = delta.shape
+    d = delta.reshape(t // 2, 2, 1, 1, c)  # (tt, pt, ., ., c)
+    d = jnp.broadcast_to(d[:, :, None, None], (t // 2, 2, 2, 2, 1, 1, c))
+    return d.reshape(t // 2, 1, 1, 8 * c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def apply_flicker_packed(
+    video_u8: jax.Array,
+    delta_applied: jax.Array,
+    adv_flag: jax.Array,
+    input_min: float,
+    input_max: float,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """adv_packed = clip(pack(u8)/128-1 + adv_flag*pack(delta), min, max).
+
+    Args:
+      video_u8: [B, T, H, W, C] uint8 with even T/H/W.
+      delta_applied: [T, 1, 1, C] f32 — the already value-clipped (and
+        frame-masked, if any) delta, i.e. everything upstream of the add in
+        apply_perturbation().
+      adv_flag: traced f32 scalar gate (placeholder_with_default parity).
+
+    Returns [B, T/2, H/2, W/2, 8C] in out_dtype, ready for a prepacked stem
+    (InceptionI3D(prepacked_stem_input=True)).
+    """
+    packed_u8 = _pack_u8(video_u8)
+    return _packed_math(packed_u8, delta_applied, adv_flag, input_min, input_max, out_dtype)
+
+
+def _pack_u8(video_u8):
+    """Space-to-depth on the RAW uint8 bytes.  The optimization barrier pins
+    the transpose in u8: without it XLA hoists the downstream u8->f32
+    convert (and the fused /128-1) above the transpose and relays out the
+    full video in f32 — the exact 16 ms/step copy pair this op exists to
+    remove (measured, PERF.md round 2)."""
+    return jax.lax.optimization_barrier(pack_input(video_u8, axes=(1, 2, 3)))
+
+
+def _packed_math(packed_u8, delta_applied, adv_flag, input_min, input_max, out_dtype):
+    x = packed_u8.astype(jnp.float32) / 128.0 - 1.0
+    dpk = pack_flicker_delta(delta_applied)
+    adv = x + jnp.asarray(adv_flag, jnp.float32) * dpk[None]
+    return jnp.clip(adv, input_min, input_max).astype(out_dtype)
+
+
+def _apply_fwd(video_u8, delta_applied, adv_flag, input_min, input_max, out_dtype):
+    packed_u8 = _pack_u8(video_u8)
+    out = _packed_math(packed_u8, delta_applied, adv_flag, input_min, input_max, out_dtype)
+    return out, (packed_u8, delta_applied, adv_flag, video_u8.shape)
+
+
+def _apply_bwd(input_min, input_max, out_dtype, res, g):
+    packed_u8, delta_applied, adv_flag, video_shape = res
+    # Differentiate the *packed-space* math — identical jnp ops as the
+    # forward, so clip/tie gradient semantics match the unpacked reference
+    # path exactly; the full-size cotangent lives only in packed layout and
+    # fuses with the stem's transposed conv.
+    _, vjp = jax.vjp(
+        lambda d, a: _packed_math(packed_u8, d, a, input_min, input_max, out_dtype),
+        delta_applied,
+        jnp.asarray(adv_flag, jnp.float32),
+    )
+    d_delta, d_flag = vjp(g)
+    d_video = np.zeros(video_shape, dtype=jax.dtypes.float0)  # uint8 input
+    return d_video, d_delta, d_flag
+
+
+apply_flicker_packed.defvjp(_apply_fwd, _apply_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def apply_flicker_prepacked(
+    packed_u8: jax.Array,
+    delta_applied: jax.Array,
+    adv_flag: jax.Array,
+    input_min: float,
+    input_max: float,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """apply_flicker_packed for a HOST-prepacked uint8 video.
+
+    The space-to-depth relayout measured 8.4 ms/step on-device even in uint8
+    (sub-tile 6-byte atoms cap the copy at 29-41 GiB/s); the host pipeline
+    emits the packed layout instead — free inside the native reader's
+    per-record memcpy (native/tfrecord_reader.cc tfr_read_batch_packed) and
+    overlapped with device compute by the existing prefetch.  This op is the
+    device-side remainder: normalize + delta + clip, elementwise in packed
+    space, custom VJP for d(delta).
+
+    packed_u8: [B, T/2, H/2, W/2, 8C] uint8, channel order (pt, ph, pw, c)
+    (= data/packing.pack_video_np / ops.space_to_depth.pack_input).
+    """
+    return _packed_math(packed_u8, delta_applied, adv_flag, input_min, input_max, out_dtype)
+
+
+def _prepacked_fwd(packed_u8, delta_applied, adv_flag, input_min, input_max, out_dtype):
+    out = _packed_math(packed_u8, delta_applied, adv_flag, input_min, input_max, out_dtype)
+    return out, (packed_u8, delta_applied, adv_flag)
+
+
+def _prepacked_bwd(input_min, input_max, out_dtype, res, g):
+    packed_u8, delta_applied, adv_flag = res
+    _, vjp = jax.vjp(
+        lambda d, a: _packed_math(packed_u8, d, a, input_min, input_max, out_dtype),
+        delta_applied,
+        jnp.asarray(adv_flag, jnp.float32),
+    )
+    d_delta, d_flag = vjp(g)
+    d_video = np.zeros(packed_u8.shape, dtype=jax.dtypes.float0)
+    return d_video, d_delta, d_flag
+
+
+apply_flicker_prepacked.defvjp(_prepacked_fwd, _prepacked_bwd)
+
+
+def packable(video_shape: Tuple[int, ...]) -> bool:
+    """True when [B,T,H,W,C] has the even extents space-to-depth needs."""
+    return (
+        len(video_shape) == 5
+        and all(s % 2 == 0 for s in video_shape[1:4])
+    )

@@ -81,15 +81,40 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_replicated(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a host-side pytree onto every device of the mesh.
+
+    Multi-process: each process holds the identical full value, so the
+    process-local data IS every addressable shard —
+    jax.make_array_from_process_local_data assembles the global array without
+    any cross-host transfer. Single-process: plain device_put.
+    """
+    sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
+    return jax.device_put(tree, sh)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host-side batch pytree onto the mesh, batch-axis sharded.
 
-    Uses jax.device_put with per-leaf NamedShardings; the transfer is one
-    host->device DMA per shard (per-host slice in multi-host setups).
+    Single-process: jax.device_put with per-leaf NamedShardings (one
+    host->device DMA per shard).  Multi-process: `batch` is this host's LOCAL
+    slice (global batch = concatenation over process_index order, matching
+    the per-host tfrecord shard assignment in data/tfrecord.py);
+    jax.make_array_from_process_local_data assembles the global sharded
+    array.  Exercised end-to-end by scripts/multihost_sim.py /
+    tests/test_multihost.py on 2 processes x 4 CPU devices.
     """
 
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        sh = data_sharding(mesh, x.ndim)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)

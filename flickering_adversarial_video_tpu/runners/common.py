@@ -189,7 +189,33 @@ def build_engine(
                 n_dev = d
                 break
     mesh = make_mesh(n_devices=n_dev) if n_dev > 1 else None
+
+    # Packed-preprocess fast path (ops/packed_apply.py): an I3D forward that
+    # takes space-to-depth packed input over the SAME variables.  Gated on
+    # the variables actually holding an I3D tree so monkeypatched/fake
+    # victims in tests degrade to the generic path.
+    apply_packed_fn = None
+    if (
+        model_name == "i3d"
+        and isinstance(variables, dict)
+        and "Conv3d_1a_7x7" in variables.get("params", {})
+    ):
+        from ..models.i3d import InceptionI3D
+
+        packed_model = InceptionI3D(
+            num_classes=num_classes or reg.num_classes,
+            compute_dtype=compute_dtype,
+            prepacked_stem_input=True,
+        )
+        apply_packed_fn = lambda v, xp: packed_model.apply(v, xp)[0]
+
     engine = AttackEngine(
-        apply_fn, variables, spec, cfg, mesh=mesh, track_probs=track_probs
+        apply_fn,
+        variables,
+        spec,
+        cfg,
+        mesh=mesh,
+        track_probs=track_probs,
+        apply_packed_fn=apply_packed_fn,
     )
     return engine, labels

@@ -58,11 +58,31 @@ def run(cfg, *, frames: int = 90, size=None, max_steps=None):
     print("val shards:", *val_shards, sep="\n  ")
     batch_size = int(attack_cfg.BATCH_SIZE)
 
+    # Host-prepacked input (PREPACK_INPUT, default on): the reader emits the
+    # space-to-depth layout the packed I3D stem consumes — the device step
+    # skips its 8 ms relayout (ops/packed_apply.py; PERF.md round 2).  Only
+    # meaningful when the engine's packed path is available.
+    size_eff = size or 224
+    prepack = (
+        bool(attack_cfg.get("PREPACK_INPUT", True))
+        and engine._packed_supported()
+        and frames % 2 == 0
+        and size_eff % 2 == 0
+    )
+    if prepack:
+        print("input pipeline: host-prepacked space-to-depth uint8")
+
     def train_batches():
-        return tfrecord_batches(train_shards, batch_size, frames=frames)
+        return tfrecord_batches(
+            train_shards, batch_size, frames=frames, height=size_eff,
+            width=size_eff, prepack=prepack,
+        )
 
     def val_batches():
-        return tfrecord_batches(val_shards, batch_size, frames=frames)
+        return tfrecord_batches(
+            val_shards, batch_size, frames=frames, height=size_eff,
+            width=size_eff, prepack=prepack,
+        )
 
     model_dir = model_dir_name(attack_cfg)
     os.makedirs(model_dir, exist_ok=True)

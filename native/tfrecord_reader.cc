@@ -318,3 +318,96 @@ long tfr_read_batch(void* handle, uint8_t* dst, long record_bytes,
 }
 
 }  // extern "C"
+
+// Space-to-depth pack of one clip during the copy out of the record buffer.
+//
+// src: [T, H, W, C] uint8 (contiguous); dst: [T/2, H/2, W/2, 8C] with
+// channel order (parity_t, parity_h, parity_w, c) — exactly
+// ops/space_to_depth.pack_input(x, axes=(1,2,3)).  This layout is what the
+// TPU attack step's prepacked path consumes (ops/packed_apply.py); doing the
+// relayout here, inside the per-record copy the reader performs anyway, is
+// free on the host and removes an 8 ms/step sub-tile-granularity transpose
+// from the device program (PERF.md round 2).
+static inline void Store6(uint8_t* dst, const uint8_t* src) {
+  // 6-byte atom as one u32 + one u16 store (x86 unaligned access is fine;
+  // beats a memcpy call and lets the compiler keep everything in registers)
+  uint32_t a;
+  uint16_t b;
+  memcpy(&a, src, 4);
+  memcpy(&b, src + 4, 2);
+  memcpy(dst, &a, 4);
+  memcpy(dst + 4, &b, 2);
+}
+
+static void PackClip(const uint8_t* src, uint8_t* dst, long T, long H, long W,
+                     long C) {
+  const long W2 = W / 2, H2 = H / 2, T2 = T / 2;
+  const long atom = 2 * C;             // (parity_w, c) stays contiguous
+  const long out_ch = 8 * C;           // packed channel count
+  const long src_row = W * C;          // one (t, h) row
+  const long src_plane = H * src_row;  // one t slice
+  if (C == 3) {
+    // hot case: one pass per output row, all four source rows interleaved
+    // with register-width stores — sequential writes, 4 sequential reads
+    for (long tt = 0; tt < T2; ++tt) {
+      for (long hh = 0; hh < H2; ++hh) {
+        const uint8_t* s00 = src + (2 * tt) * src_plane + (2 * hh) * src_row;
+        const uint8_t* s01 = s00 + src_row;
+        const uint8_t* s10 = s00 + src_plane;
+        const uint8_t* s11 = s10 + src_row;
+        uint8_t* o = dst + ((tt * H2 + hh) * W2) * out_ch;
+        for (long ww = 0; ww < W2; ++ww) {
+          const long si = ww * atom;
+          Store6(o, s00 + si);
+          Store6(o + 6, s01 + si);
+          Store6(o + 12, s10 + si);
+          Store6(o + 18, s11 + si);
+          o += out_ch;
+        }
+      }
+    }
+    return;
+  }
+  for (long tt = 0; tt < T2; ++tt) {
+    for (long hh = 0; hh < H2; ++hh) {
+      uint8_t* orow = dst + ((tt * H2 + hh) * W2) * out_ch;
+      for (long pt = 0; pt < 2; ++pt) {
+        for (long ph = 0; ph < 2; ++ph) {
+          const uint8_t* irow =
+              src + (2 * tt + pt) * src_plane + (2 * hh + ph) * src_row;
+          uint8_t* obase = orow + (pt * 2 + ph) * atom;
+          for (long ww = 0; ww < W2; ++ww) {
+            memcpy(obase + ww * out_ch, irow + ww * atom, atom);
+          }
+        }
+      }
+    }
+  }
+}
+
+extern "C" {
+
+// tfr_read_batch with on-the-fly space-to-depth packing.
+// dst: count * (record_bytes) uint8, laid out [n, T/2, H/2, W/2, 8C].
+// record_bytes = T*H*W*C must match frames*height*width*channels.
+long tfr_read_batch_packed(void* handle, uint8_t* dst, long frames,
+                           long height, long width, long channels,
+                           long long* labels_out, long count) {
+  const long record_bytes = frames * height * width * channels;
+  const uint8_t* video;
+  long vlen;
+  long long label;
+  long filled = 0;
+  while (filled < count) {
+    long rc = tfr_next(handle, &video, &vlen, &label);
+    if (rc <= 0) break;
+    if (vlen < record_bytes) continue;  // too short: skip
+    PackClip(video + (vlen - record_bytes), dst + filled * record_bytes,
+             frames, height, width, channels);
+    labels_out[filled] = label;
+    ++filled;
+  }
+  return filled;
+}
+
+}  // extern "C"

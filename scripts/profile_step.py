@@ -1,0 +1,107 @@
+"""Capture an xplane trace of the fused attack step and print per-op times.
+
+Usage:  python scripts/profile_step.py [--steps N] [--outdir DIR]
+
+Parses the raw .xplane.pb with tensorboard_plugin_profile and prints the
+top HLO ops by self-time — the per-op roofline evidence VERDICT.md asked
+for (round-1 component timings were measured with hand-built sub-programs;
+this is the ground-truth breakdown of the *actual* fused step).
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def capture(outdir: str, steps: int, frames: int, size: int, batch: int):
+    from bench import build_engine
+    from flickering_adversarial_video_tpu.engine import RuntimeFlags
+
+    import jax.numpy as jnp
+
+    engine, _, _ = build_engine(jnp.bfloat16)
+    flags = RuntimeFlags()
+    state = engine.init_state()
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "video": jax.device_put(
+            rng.integers(0, 256, (batch, frames, size, size, 3), dtype=np.uint8)
+        ),
+        "labels": jax.device_put(rng.integers(0, 400, (batch,), dtype=np.int32)),
+    }
+    key = jax.random.key(0)
+    for _ in range(3):
+        state, _ = engine.train_step(state, batch_data, flags, key)
+    jax.block_until_ready(state.delta)
+
+    with jax.profiler.trace(outdir):
+        for _ in range(steps):
+            state, _ = engine.train_step(state, batch_data, flags, key)
+        jax.block_until_ready(state.delta)
+    print(f"trace written to {outdir}")
+
+
+def summarize(outdir: str, top: int = 40, steps: int = 10, show_text: int = 0):
+    """Per-HLO-op roofline table from the trace via xprof's hlo_stats."""
+    import json as json_lib
+
+    from xprof.convert import raw_to_tool_data as r
+
+    paths = sorted(glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        print("no xplane.pb found under", outdir)
+        return
+    data, _ = r.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+    obj = json_lib.loads(data.decode() if isinstance(data, bytes) else data)
+    cols = [c["label"] for c in obj["cols"]]
+    ix = {c: i for i, c in enumerate(cols)}
+    rows = [[c.get("v") for c in row["c"]] for row in obj["rows"]]
+    rows.sort(key=lambda q: -(q[ix["Total self time (us)"]] or 0))
+    tot = sum(q[ix["Total self time (us)"]] or 0 for q in rows)
+    print(f"total self time {tot/1e3:.2f} ms -> {tot/steps/1e3:.2f} ms/step")
+    print(f"{'us/step':>9} {'%':>5} {'cat':<18} {'GF/s':>7} {'GiB/s':>6} {'bound':<8} op")
+    for q in rows[:top]:
+        us = (q[ix["Total self time (us)"]] or 0) / steps
+        pct = 100 * (q[ix["Total self time (us)"]] or 0) / tot
+        cat = (q[ix["HLO op category"]] or "")[:18]
+        gf = q[ix["Model GFLOP/s"]] or 0
+        bw = q[ix["Measured memory BW (GiB/s)"]] or 0
+        bound = (q[ix["Bound by"]] or "")[:8]
+        name = (q[ix["HLO op name"]] or "")[:80]
+        print(f"{us:9.1f} {pct:5.1f} {cat:<18} {gf:7.0f} {bw:6.0f} {bound:<8} {name}")
+        if show_text:
+            print("   ", (q[ix["HLO op text"]] or "").replace("\n", " ")[:220])
+    groups = {}
+    for q in rows:
+        cat = q[ix["HLO op category"]] or "?"
+        groups[cat] = groups.get(cat, 0.0) + (q[ix["Total self time (us)"]] or 0)
+    print("\n-- by category --")
+    for name, us in sorted(groups.items(), key=lambda kv: -kv[1]):
+        print(f"{us/steps:9.1f} {100*us/tot:5.1f}  {name}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--outdir", default="/tmp/xtrace")
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--show-text", type=int, default=0)
+    args = ap.parse_args()
+    if not args.parse_only:
+        capture(args.outdir, args.steps, args.frames, args.size, args.batch)
+    summarize(args.outdir, args.top, steps=args.steps, show_text=args.show_text)

@@ -1,0 +1,212 @@
+"""Packed-preprocess fast-path exactness (ops/packed_apply.py).
+
+The fused uint8-normalize + delta-apply in space-to-depth layout must be a
+pure permutation of the reference-semantics unpacked path
+(attack/perturbation.py apply_perturbation over _normalize): values equal
+exactly, gradients equal up to f32 reduction reassociation, and the engine's
+packed train step must reproduce the generic step's trajectory.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flickering_adversarial_video_tpu.attack import FlickerSpec
+from flickering_adversarial_video_tpu.attack import perturbation as pert_lib
+from flickering_adversarial_video_tpu.engine import (
+    AttackConfig,
+    AttackEngine,
+    RuntimeFlags,
+)
+from flickering_adversarial_video_tpu.models.i3d import InceptionI3D, init_i3d_params
+from flickering_adversarial_video_tpu.ops.packed_apply import (
+    apply_flicker_packed,
+    pack_flicker_delta,
+    packable,
+)
+from flickering_adversarial_video_tpu.ops.space_to_depth import pack_input
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _u8_video(rng, b=2, t=8, h=12, w=12):
+    return jnp.asarray(rng.integers(0, 256, (b, t, h, w, 3), dtype=np.uint8))
+
+
+def _delta(rng, t=8, scale=0.6):
+    # exceeds the 0.4 clip on some entries so the clip path is exercised
+    return jnp.asarray(rng.uniform(-scale, scale, (t, 1, 1, 3)).astype(np.float32))
+
+
+class TestPackedApplyMath:
+    def test_pack_flicker_delta_matches_pack_input(self, rng):
+        t = 8
+        d = _delta(rng, t)
+        # broadcast delta to a full video and pack it with the generic packer
+        vid = jnp.broadcast_to(d[None], (1, t, 4, 4, 3))
+        expected = pack_input(vid, axes=(1, 2, 3))  # [1, t/2, 2, 2, 24]
+        got = pack_flicker_delta(d)  # [t/2, 1, 1, 24]
+        np.testing.assert_array_equal(
+            np.asarray(expected[0, :, 0, 0, :]), np.asarray(got[:, 0, 0, :])
+        )
+
+    def test_forward_is_permutation_of_unpacked(self, rng):
+        video = _u8_video(rng)
+        spec = FlickerSpec(frames=8)
+        delta = _delta(rng)
+        clipped = pert_lib.clip_delta(spec, delta)
+        x = video.astype(jnp.float32) / 128.0 - 1.0
+        adv = pert_lib.apply_perturbation(x, delta, spec, adv_flag=1.0)
+        expected = pack_input(adv, axes=(1, 2, 3))
+        got = apply_flicker_packed(video, clipped, jnp.float32(1.0), -1.0, 1.0)
+        np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
+
+    def test_adv_flag_zero_gives_clean(self, rng):
+        video = _u8_video(rng)
+        clipped = jnp.zeros((8, 1, 1, 3), jnp.float32)
+        got = apply_flicker_packed(video, clipped, jnp.float32(0.0), -1.0, 1.0)
+        expected = pack_input(
+            video.astype(jnp.float32) / 128.0 - 1.0, axes=(1, 2, 3)
+        )
+        np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
+
+    def test_gradient_matches_unpacked(self, rng):
+        video = _u8_video(rng)
+        spec = FlickerSpec(frames=8)
+        delta = _delta(rng)
+        # downstream weight makes the cotangent non-uniform
+        wkey = jax.random.normal(jax.random.key(0), (2, 8, 12, 12, 3))
+        wpk = pack_input(wkey, axes=(1, 2, 3))
+
+        def loss_packed(d):
+            clipped = pert_lib.clip_delta(spec, d)
+            out = apply_flicker_packed(video, clipped, jnp.float32(1.0), -1.0, 1.0)
+            return jnp.sum(out * wpk)
+
+        def loss_unpacked(d):
+            x = video.astype(jnp.float32) / 128.0 - 1.0
+            adv = pert_lib.apply_perturbation(x, d, spec, adv_flag=1.0)
+            return jnp.sum(adv * wkey)
+
+        gp = jax.grad(loss_packed)(delta)
+        gu = jax.grad(loss_unpacked)(delta)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gu), rtol=1e-5, atol=1e-6)
+
+    def test_packable(self):
+        assert packable((2, 8, 12, 12, 3))
+        assert not packable((2, 7, 12, 12, 3))
+        assert not packable((2, 8, 11, 12, 3))
+
+
+class TestPrepackedI3D:
+    def test_prepacked_model_matches_unpacked(self, rng):
+        frames, size = 8, 16
+        model = InceptionI3D(num_classes=11, compute_dtype=jnp.float32)
+        packed_model = InceptionI3D(
+            num_classes=11, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        variables = init_i3d_params(
+            jax.random.key(1), num_classes=11, frames=frames, size=size
+        )
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (2, frames, size, size, 3)).astype(np.float32)
+        )
+        ref, _ = jax.jit(model.apply)(variables, x)
+        got, _ = jax.jit(packed_model.apply)(variables, pack_input(x, axes=(1, 2, 3)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestEnginePackedPath:
+    def _trajectory(self, engine, batch, steps=4):
+        flags = RuntimeFlags()
+        key = jax.random.key(0)
+        state = engine.init_state()
+        deltas, losses = [], []
+        for _ in range(steps):
+            state, m = engine.train_step(state, batch, flags, key)
+            deltas.append(np.asarray(state.delta))
+            losses.append(float(m["total_loss"]))
+        return deltas, losses
+
+    def _engines(self, frames=8, size=16, num_classes=7):
+        model = InceptionI3D(num_classes=num_classes, compute_dtype=jnp.float32)
+        packed_model = InceptionI3D(
+            num_classes=num_classes,
+            compute_dtype=jnp.float32,
+            prepacked_stem_input=True,
+        )
+        variables = init_i3d_params(
+            jax.random.key(2), num_classes=num_classes, frames=frames, size=size
+        )
+        spec = FlickerSpec(frames=frames)
+        apply_fn = lambda v, x: model.apply(v, x)[0]
+        plain = AttackEngine(apply_fn, variables, spec, AttackConfig())
+        packed = AttackEngine(
+            apply_fn,
+            variables,
+            spec,
+            AttackConfig(),
+            apply_packed_fn=lambda v, xp: packed_model.apply(v, xp)[0],
+        )
+        return plain, packed
+
+    def test_train_trajectory_matches_generic(self, rng):
+        plain, packed = self._engines()
+        batch = {
+            "video": _u8_video(rng, b=2, t=8, h=16, w=16),
+            "labels": jnp.asarray(rng.integers(0, 7, (2,))),
+        }
+        d_plain, l_plain = self._trajectory(plain, batch)
+        d_packed, l_packed = self._trajectory(packed, batch)
+        np.testing.assert_allclose(l_packed, l_plain, rtol=1e-5)
+        np.testing.assert_allclose(d_packed[-1], d_plain[-1], rtol=1e-4, atol=1e-7)
+
+    def test_eval_counters_match_generic(self, rng):
+        plain, packed = self._engines()
+        batch = {
+            "video": _u8_video(rng, b=4, t=8, h=16, w=16),
+            "labels": jnp.asarray(rng.integers(0, 7, (4,))),
+        }
+        flags = RuntimeFlags()
+        key = jax.random.key(0)
+        delta = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (8, 1, 1, 3)).astype(np.float32)
+        )
+        ev_p = plain.eval_step(delta, batch, flags, key)
+        ev_q = packed.eval_step(delta, batch, flags, key)
+        assert int(ev_p["miss"]) == int(ev_q["miss"])
+        assert int(ev_p["valid"]) == int(ev_q["valid"])
+        np.testing.assert_allclose(
+            np.asarray(ev_q["adv_probs"]), np.asarray(ev_p["adv_probs"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_odd_frames_fall_back(self, rng):
+        # odd T -> packed path ineligible -> generic path must serve
+        frames, size = 7, 16
+        model = InceptionI3D(num_classes=5, compute_dtype=jnp.float32)
+        variables = init_i3d_params(
+            jax.random.key(3), num_classes=5, frames=frames, size=size
+        )
+        spec = FlickerSpec(frames=frames)
+        engine = AttackEngine(
+            lambda v, x: model.apply(v, x)[0],
+            variables,
+            spec,
+            AttackConfig(),
+            apply_packed_fn=lambda v, xp: (_ for _ in ()).throw(
+                AssertionError("packed path must not engage for odd T")
+            ),
+        )
+        batch = {
+            "video": _u8_video(rng, b=1, t=frames, h=size, w=size),
+            "labels": jnp.asarray([0]),
+        }
+        state = engine.init_state()
+        state, m = engine.train_step(state, batch, RuntimeFlags(), jax.random.key(0))
+        assert np.isfinite(float(m["total_loss"]))

@@ -133,10 +133,9 @@ class TestUniversalRunner:
         import flickering_adversarial_video_tpu.runners.universal as u
         from flickering_adversarial_video_tpu.data.tfrecord import tfrecord_batches
 
-        def batches(shards, bs, frames=None):
-            return tfrecord_batches(
-                shards, bs, frames=frames, height=SIZE, width=SIZE, use_native=False
-            )
+        def batches(shards, bs, frames=None, **kw):
+            kw.update(height=SIZE, width=SIZE, use_native=False)
+            return tfrecord_batches(shards, bs, frames=frames, **kw)
 
         monkeypatch.setattr(u, "tfrecord_batches", batches)
 
@@ -172,8 +171,9 @@ class TestUniversalRunner:
         monkeypatch.setattr(
             u,
             "tfrecord_batches",
-            lambda shards, bs, frames=None: tfrecord_batches(
-                shards, bs, frames=frames, height=SIZE, width=SIZE, use_native=False
+            lambda shards, bs, frames=None, **kw: tfrecord_batches(
+                shards, bs, frames=frames,
+                **{**kw, "height": SIZE, "width": SIZE, "use_native": False},
             ),
         )
         shard_dir = _write_shards(tmp_path, rng, tiny_victim, n_shards=1, per_shard=4)
@@ -203,8 +203,9 @@ class TestClassGenRunner:
         monkeypatch.setattr(
             cgm,
             "tfrecord_batches",
-            lambda shards, bs, frames=None: tfrecord_batches(
-                shards, bs, frames=frames, height=SIZE, width=SIZE, use_native=False
+            lambda shards, bs, frames=None, **kw: tfrecord_batches(
+                shards, bs, frames=frames,
+                **{**kw, "height": SIZE, "width": SIZE, "use_native": False},
             ),
         )
         shard_dir = _write_shards(tmp_path, rng, tiny_victim, n_shards=1, per_shard=4)
