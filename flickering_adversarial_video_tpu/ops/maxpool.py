@@ -138,10 +138,26 @@ def max_pool_same(
     """
     if all(s == 1 for s in strides):
         return _max_pool_custom(x, tuple(window), tuple(strides))
-    # NOTE: a separable (two 1-D reduce-windows) forward for the spatial
-    # strided pools was tried and measured SLOWER at step level (reduce-window
-    # 6.1 -> 10.7 ms, s&s 5.2 -> 6.3 ms; PERF.md round 2) — one 3-D
-    # reduce-window it stays.
+    if window[0] == 1 and strides[0] == 1 and x.ndim == 5:
+        # spatial-only pool: fold (B, T) so XLA sees a 4-D reduce-window
+        # (free reshape — adjacent major dims)
+        b, t, h, w, c = x.shape
+        y = lax.reduce_window(
+            x.reshape(b * t, h, w, c),
+            -jnp.inf,
+            lax.max,
+            (1, *window[1:], 1),
+            (1, *strides[1:], 1),
+            "SAME",
+        )
+        return y.reshape(b, t, *y.shape[1:])
+    # NOTE on rejected variants (all measured at step level, PERF.md round 2):
+    # separable two-1-D-reduce-window forward (6.1 -> 10.7 ms), the custom
+    # routing backward for strided pools (6-D padded accumulators), and a
+    # Pallas forward kernel (ops/pallas_pool.py — the kernel matched
+    # reduce-window's time but its default-layout boundary broke the
+    # surrounding fusions, +14 ms of relayouts).  One 3-D reduce-window with
+    # XLA autodiff it stays.
     return _pool3d(x, tuple(window), tuple(strides))
 
 

@@ -53,10 +53,27 @@ def run(cfg, *, frames: int = 90, size=None, max_steps=None):
     if attack_cfg.TARGETED_ATTACK:
         targeted_label = labels.index(attack_cfg.TARGETED_CLASS)
 
+    # host-prepacked input: same default-on fast path as the universal runner
+    size_eff = size or 224
+    prepack = (
+        bool(attack_cfg.get("PREPACK_INPUT", True))
+        and engine._packed_supported()
+        and frames % 2 == 0
+        and size_eff % 2 == 0
+    )
+    if prepack:
+        print("input pipeline: host-prepacked space-to-depth uint8")
+
+    def _batches(shards):
+        return tfrecord_batches(
+            shards, batch_size, frames=frames, height=size_eff, width=size_eff,
+            prepack=prepack,
+        )
+
     out = batched_attack_loop(
         engine,
-        lambda: tfrecord_batches(train_shards, batch_size, frames=frames),
-        lambda: tfrecord_batches(val_shards, batch_size, frames=frames),
+        lambda: _batches(train_shards),
+        lambda: _batches(val_shards),
         flags,
         max_steps=max_steps or int(attack_cfg.MAX_NUM_STEP),
         state=state,

@@ -24,7 +24,8 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def capture(outdir: str, steps: int, frames: int, size: int, batch: int):
+def capture(outdir: str, steps: int, frames: int, size: int, batch: int,
+            prepacked: bool = False):
     from bench import build_engine
     from flickering_adversarial_video_tpu.engine import RuntimeFlags
 
@@ -34,12 +35,16 @@ def capture(outdir: str, steps: int, frames: int, size: int, batch: int):
     flags = RuntimeFlags()
     state = engine.init_state()
     rng = np.random.default_rng(0)
-    batch_data = {
-        "video": jax.device_put(
-            rng.integers(0, 256, (batch, frames, size, size, 3), dtype=np.uint8)
-        ),
-        "labels": jax.device_put(rng.integers(0, 400, (batch,), dtype=np.int32)),
-    }
+    video = rng.integers(0, 256, (batch, frames, size, size, 3), dtype=np.uint8)
+    if prepacked:
+        from flickering_adversarial_video_tpu.data.packing import pack_video_np
+
+        batch_data = {"video_packed": jax.device_put(pack_video_np(video))}
+    else:
+        batch_data = {"video": jax.device_put(video)}
+    batch_data["labels"] = jax.device_put(
+        rng.integers(0, 400, (batch,), dtype=np.int32)
+    )
     key = jax.random.key(0)
     for _ in range(3):
         state, _ = engine.train_step(state, batch_data, flags, key)
@@ -99,9 +104,13 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--prepacked", action="store_true")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--show-text", type=int, default=0)
     args = ap.parse_args()
     if not args.parse_only:
-        capture(args.outdir, args.steps, args.frames, args.size, args.batch)
+        capture(
+            args.outdir, args.steps, args.frames, args.size, args.batch,
+            prepacked=args.prepacked,
+        )
     summarize(args.outdir, args.top, steps=args.steps, show_text=args.show_text)
