@@ -182,3 +182,27 @@ def test_logit_shape_and_param_count(variant):
     # published torchvision sizes: r3d 33.4M, mc3 11.7M, r2+1d 31.5M
     expected = {"r3d_18": 33.4e6, "mc3_18": 11.7e6, "r2plus1d_18": 31.5e6}[variant]
     assert abs(n - expected) / expected < 0.02, n
+
+
+@pytest.mark.parametrize("num_classes", [359, 487])
+def test_ig65m_head_sizes_convert_and_run(num_classes, rng):
+    """ig65m r2plus1d_34 checkpoints keep the torchvision layout but carry
+    359-way (IG65M) / 487-way (Kinetics+IG65M) heads
+    (reference model.py:46-52 torch.hub ig65m load); the converter must be
+    head-size agnostic end to end."""
+    torch_model = TorchVideoResNet("r2plus1d_34", num_classes=num_classes)
+    randomize(torch_model, seed=11)
+    torch_model.eval()
+    x = rng.normal(size=(1, 4, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = torch_model(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    variables = convert_video_resnet_state_dict(sd, "r2plus1d_34")
+    got = np.asarray(
+        VideoResNet("r2plus1d_34", num_classes=num_classes).apply(
+            variables, jnp.asarray(x)
+        )
+    )
+    assert got.shape == (1, num_classes)
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got / scale, expected / scale, atol=2e-5)
