@@ -16,3 +16,6 @@ native:
 clean:
 	rm -rf .jax_cache .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+test-fast:
+	python -m pytest tests/ -q -m "not slow"

@@ -97,13 +97,15 @@ def grain_batches(
 
     source = TFRecordRandomAccessSource(shards, frames, height, width)
     if worker_count > 0 and drop_remainder:
-        per_worker = len(source) // max(worker_count, 1)
-        if per_worker < batch_size:
+        # workers get ceil/floor shares; only if even the LARGEST share is
+        # below a batch would every worker drop everything
+        largest_share = -(-len(source) // max(worker_count, 1))
+        if largest_share < batch_size:
             raise ValueError(
-                f"{len(source)} records over {worker_count} workers gives "
-                f"{per_worker}/worker < batch_size={batch_size}: every worker "
-                "would drop its partial batch and the loader would yield "
-                "nothing; lower worker_count/batch_size or pass "
+                f"{len(source)} records over {worker_count} workers gives at "
+                f"most {largest_share}/worker < batch_size={batch_size}: "
+                "every worker would drop its partial batch and the loader "
+                "would yield nothing; lower worker_count/batch_size or pass "
                 "drop_remainder=False"
             )
     sampler = gp.IndexSampler(

@@ -439,6 +439,7 @@ class AttackEngine:
     ) -> Dict[str, jax.Array]:
         video, prepacked = self._batch_video(batch)
         if prepacked or self._packed_eligible(video):
+            self._packed_eligible(video, prepacked=prepacked)  # raises if unsupported
             adv_logits = self._packed_logits(delta, video, flags, prepacked=prepacked)
             clean_logits = self._packed_logits(None, video, flags, prepacked=prepacked)
         else:
@@ -473,6 +474,7 @@ class AttackEngine:
     ) -> jax.Array:
         video, prepacked = self._batch_video(batch)
         if prepacked:
+            self._packed_eligible(video, prepacked=True)  # raises if unsupported
             logits = self._packed_logits(
                 delta if adversarial else None, video, flags, prepacked=True
             )

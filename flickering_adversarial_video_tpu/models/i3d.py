@@ -416,6 +416,20 @@ class InceptionI3D(nn.Module):
         return predictions, end_points
 
 
+def make_packed_apply_fn(num_classes: int = 400, compute_dtype: Any = jnp.bfloat16):
+    """(variables, packed_x) -> logits over the prepacked-stem I3D.
+
+    The single factory for the packed-input forward (engine fast path,
+    ops/packed_apply.py) — shares the variables of the unpacked model, so
+    one converted checkpoint serves both."""
+    packed_model = InceptionI3D(
+        num_classes=num_classes,
+        compute_dtype=compute_dtype,
+        prepacked_stem_input=True,
+    )
+    return lambda variables, packed_x: packed_model.apply(variables, packed_x)[0]
+
+
 def init_i3d_params(
     key: jax.Array,
     num_classes: int = 400,

@@ -20,7 +20,7 @@ from ..engine.checkpoint import AttackCheckpointer
 from ..engine.loops import batched_attack_loop, flags_from_config
 from ..utils.config import load_config
 from ..viz.tensorboard import ScalarWriter
-from .common import build_engine, enable_compilation_cache
+from .common import build_engine, enable_compilation_cache, make_shard_batches
 
 
 def run(cfg, *, frames: int = 90, size=None, max_steps=None):
@@ -54,21 +54,10 @@ def run(cfg, *, frames: int = 90, size=None, max_steps=None):
         targeted_label = labels.index(attack_cfg.TARGETED_CLASS)
 
     # host-prepacked input: same default-on fast path as the universal runner
-    size_eff = size or 224
-    prepack = (
-        bool(attack_cfg.get("PREPACK_INPUT", True))
-        and engine._packed_supported()
-        and frames % 2 == 0
-        and size_eff % 2 == 0
+    _batches, _ = make_shard_batches(
+        attack_cfg, engine, lambda *a, **kw: tfrecord_batches(*a, **kw),
+        frames=frames, size=size, batch_size=batch_size,
     )
-    if prepack:
-        print("input pipeline: host-prepacked space-to-depth uint8")
-
-    def _batches(shards):
-        return tfrecord_batches(
-            shards, batch_size, frames=frames, height=size_eff, width=size_eff,
-            prepack=prepack,
-        )
 
     out = batched_attack_loop(
         engine,

@@ -159,6 +159,8 @@ def build_engine(
     frame_window = attack_cfg.get("ATTACK_FRAME_WINDOW")
     if frame_window is not None:
         frame_window = (int(frame_window[0]), int(frame_window[1]))
+        # do NOT silently drop the window for torch-world victims — let the
+        # engine's informative ValueError surface the misconfiguration
 
     cfg = AttackConfig(
         improve_loss=bool(attack_cfg.get("IMPROVE_ADV_LOSS", True)),
@@ -175,7 +177,7 @@ def build_engine(
             or attack_cfg.get("CYCLIC_PERTURBATION_ATTACK", False)
         ),
         use_pallas_fused=bool(attack_cfg.get("USE_PALLAS_FUSED", False)),
-        frame_window=frame_window if reg.norm_world == "tanh" else None,
+        frame_window=frame_window,
     )
     # mesh over the largest device count that divides the batch (the batch
     # axis is the only sharded axis; an indivisible batch degrades gracefully
@@ -200,14 +202,11 @@ def build_engine(
         and isinstance(variables, dict)
         and "Conv3d_1a_7x7" in variables.get("params", {})
     ):
-        from ..models.i3d import InceptionI3D
+        from ..models.i3d import make_packed_apply_fn
 
-        packed_model = InceptionI3D(
-            num_classes=num_classes or reg.num_classes,
-            compute_dtype=compute_dtype,
-            prepacked_stem_input=True,
+        apply_packed_fn = make_packed_apply_fn(
+            num_classes or reg.num_classes, compute_dtype
         )
-        apply_packed_fn = lambda v, xp: packed_model.apply(v, xp)[0]
 
     engine = AttackEngine(
         apply_fn,
@@ -219,3 +218,41 @@ def build_engine(
         apply_packed_fn=apply_packed_fn,
     )
     return engine, labels
+
+
+def make_shard_batches(
+    attack_cfg,
+    engine,
+    tfrecord_batches_fn,
+    *,
+    frames: int,
+    size: Optional[int],
+    batch_size: int,
+):
+    """(batches_fn, prepack): shared tfrecord-pipeline factory for the
+    universal/class-gen runners.
+
+    Host-prepacked input defaults on (PREPACK_INPUT) whenever the engine's
+    packed path exists and the geometry is even — the native reader then
+    emits the space-to-depth layout during its record copy
+    (ops/packed_apply.py; PERF.md round 2).
+
+    `tfrecord_batches_fn` is passed in (the runner's module-level symbol) so
+    tests can monkeypatch it per runner."""
+    size_eff = size or 224
+    prepack = (
+        bool(attack_cfg.get("PREPACK_INPUT", True))
+        and engine._packed_supported()
+        and frames % 2 == 0
+        and size_eff % 2 == 0
+    )
+    if prepack:
+        print("input pipeline: host-prepacked space-to-depth uint8")
+
+    def batches(shards):
+        return tfrecord_batches_fn(
+            shards, batch_size, frames=frames, height=size_eff,
+            width=size_eff, prepack=prepack,
+        )
+
+    return batches, prepack

@@ -22,7 +22,7 @@ from ..engine.checkpoint import AttackCheckpointer
 from ..engine.loops import batched_attack_loop, flags_from_config
 from ..utils.config import load_config
 from ..viz.tensorboard import ScalarWriter
-from .common import build_engine, enable_compilation_cache
+from .common import build_engine, enable_compilation_cache, make_shard_batches
 
 
 def model_dir_name(attack_cfg) -> str:
@@ -57,32 +57,16 @@ def run(cfg, *, frames: int = 90, size=None, max_steps=None):
     print("train shards:", *train_shards, sep="\n  ")
     print("val shards:", *val_shards, sep="\n  ")
     batch_size = int(attack_cfg.BATCH_SIZE)
-
-    # Host-prepacked input (PREPACK_INPUT, default on): the reader emits the
-    # space-to-depth layout the packed I3D stem consumes — the device step
-    # skips its 8 ms relayout (ops/packed_apply.py; PERF.md round 2).  Only
-    # meaningful when the engine's packed path is available.
-    size_eff = size or 224
-    prepack = (
-        bool(attack_cfg.get("PREPACK_INPUT", True))
-        and engine._packed_supported()
-        and frames % 2 == 0
-        and size_eff % 2 == 0
+    batches, _ = make_shard_batches(
+        attack_cfg, engine, lambda *a, **kw: tfrecord_batches(*a, **kw),
+        frames=frames, size=size, batch_size=batch_size,
     )
-    if prepack:
-        print("input pipeline: host-prepacked space-to-depth uint8")
 
     def train_batches():
-        return tfrecord_batches(
-            train_shards, batch_size, frames=frames, height=size_eff,
-            width=size_eff, prepack=prepack,
-        )
+        return batches(train_shards)
 
     def val_batches():
-        return tfrecord_batches(
-            val_shards, batch_size, frames=frames, height=size_eff,
-            width=size_eff, prepack=prepack,
-        )
+        return batches(val_shards)
 
     model_dir = model_dir_name(attack_cfg)
     os.makedirs(model_dir, exist_ok=True)

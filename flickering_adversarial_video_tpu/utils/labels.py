@@ -439,12 +439,20 @@ def ucf101_labels() -> List[str]:
 
 
 def labels_for_num_classes(num_classes: int) -> List[str]:
-    """Pick the dataset label map by victim head size (400/600/101)."""
+    """Pick the dataset label map by victim head size (400/600/101).
+
+    Head sizes without a vendored map (e.g. the ig65m 359/487-way
+    r2plus1d_34 heads, whose class lists are not public metadata the
+    reference ships) get placeholder names — NOT a wrong-dataset list, so a
+    TARGETED_CLASS lookup fails loudly instead of resolving to a different
+    dataset's class index."""
     if num_classes == 600:
         return kinetics600_labels()
     if num_classes == 101:
         return ucf101_labels()
-    return kinetics400_labels()
+    if num_classes == 400:
+        return kinetics400_labels()
+    return [f"class_{i:03d}" for i in range(num_classes)]
 
 
 def load_label_map(

@@ -26,12 +26,31 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def capture(outdir: str, steps: int, frames: int, size: int, batch: int,
             prepacked: bool = False):
-    from bench import build_engine
-    from flickering_adversarial_video_tpu.engine import RuntimeFlags
+    from flickering_adversarial_video_tpu.attack import FlickerSpec
+    from flickering_adversarial_video_tpu.engine import (
+        AttackConfig,
+        AttackEngine,
+        RuntimeFlags,
+    )
+    from flickering_adversarial_video_tpu.models.i3d import (
+        InceptionI3D,
+        init_i3d_params,
+        make_packed_apply_fn,
+    )
 
     import jax.numpy as jnp
 
-    engine, _, _ = build_engine(jnp.bfloat16)
+    # build for the REQUESTED geometry (bench.build_engine hard-codes its own)
+    model = InceptionI3D(num_classes=400, compute_dtype=jnp.bfloat16)
+    variables = init_i3d_params(jax.random.key(0), frames=frames, size=size)
+    engine = AttackEngine(
+        lambda v, x: model.apply(v, x)[0],
+        variables,
+        FlickerSpec(frames=frames),
+        AttackConfig(),
+        track_probs=False,
+        apply_packed_fn=make_packed_apply_fn(400, jnp.bfloat16),
+    )
     flags = RuntimeFlags()
     state = engine.init_state()
     rng = np.random.default_rng(0)
