@@ -179,23 +179,51 @@ def time_reference_protocol(model, variables, batch, feed_per_step=False):
             return jax.device_put(video_f32_host)  # feed_dict each sess.run
         return video_resident
 
-    def one_reference_step(delta, opt_state):
-        delta, opt_state, loss = train_call(delta, get_video(), labels, opt_state)
-        _ = np.asarray(loss)  # fetch to host
-        probs = softmax_fetch(delta, get_video())
-        _ = np.asarray(probs)
-        logits_c = clean_logits_fetch(get_video())
-        _ = np.asarray(logits_c)
-        _ = np.asarray(delta)  # pert fetch (single_video_npy.py:305)
-        return delta, opt_state
+    @jax.jit
+    def chain_zero(probs, logits_c):
+        # scalar that is always 0 but data-depends on both fetch results:
+        # folded into delta so the axon runtime cannot elide the unobserved
+        # softmax/clean-logits executions (it skips independent unread work)
+        return 0.0 * (probs.ravel()[0] + logits_c.ravel()[0])
 
+    def one_reference_step(delta, opt_state, fetch):
+        delta, opt_state, loss = train_call(delta, get_video(), labels, opt_state)
+        probs = softmax_fetch(delta, get_video())
+        logits_c = clean_logits_fetch(get_video())
+        if fetch:
+            # the protocol's per-sess.run host fetches
+            # (single_video_npy.py:213-308)
+            for v in (loss, probs, logits_c, delta):
+                _ = np.asarray(v)
+        else:
+            delta = delta + chain_zero(probs, logits_c)
+        return delta, opt_state, loss
+
+    def timed_trial(delta, opt_state, ref_steps=8, fetch=False):
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(ref_steps):
+            delta, opt_state, loss = one_reference_step(delta, opt_state, fetch)
+        _ = float(loss)  # one chain-forcing readback
+        return ref_steps / (time.perf_counter() - t0), delta, opt_state
+
+    # warmup (compiles)
+    delta, opt_state, _ = one_reference_step(delta, opt_state, fetch=True)
+    # CONSERVATIVE (pro-baseline) timing: the reference fetches loss/probs/
+    # logits/pert to the host every sess.run — nearly free over its GPU's
+    # PCIe, but ~35 ms tunnel RTT each here, which would deflate the baseline
+    # through no fault of its own.  So the timed loop chains the three
+    # compiled calls per step WITHOUT host fetches (device work only), runs
+    # two trials and keeps the faster — a stable upper bound on the
+    # baseline's step rate (run-to-run spread was 1.14-1.49 steps/s with
+    # in-loop fetches).
+    best = 0.0
     for _ in range(2):
-        delta, opt_state = one_reference_step(delta, opt_state)
-    t0 = time.perf_counter()
-    ref_steps = 5
-    for _ in range(ref_steps):
-        delta, opt_state = one_reference_step(delta, opt_state)
-    return ref_steps / (time.perf_counter() - t0)
+        rate, delta, opt_state = timed_trial(
+            delta, opt_state, fetch=feed_per_step
+        )
+        best = max(best, rate)
+    return best
 
 
 def main():
