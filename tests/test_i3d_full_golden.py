@@ -88,11 +88,72 @@ def tf_i3d_forward(x, variables):
 def test_full_forward_matches_tf(rng, packed_stem):
     frames, size, classes = 16, 224, 12
     variables = init_i3d_params(jax.random.key(0), num_classes=classes, frames=frames, size=size)
-    # temper the random weights so 22 layers stay in a sane numeric range
-    variables = jax.tree_util.tree_map(lambda a: a * 0.25 if a.ndim == 5 else a, variables)
+    # He-style sqrt(2) correction on the conv kernels: lecun init does not
+    # compensate the ReLUs, and 22 attenuating layers would crush the logits
+    # toward 0 and make the comparison vacuous (the original x0.25 "temper"
+    # did exactly that: logits ~1e-11, i.e. the test compared noise)
+    variables = jax.tree_util.tree_map(
+        lambda a: a * np.sqrt(2.0) if a.ndim == 5 else a, variables
+    )
 
     x = rng.uniform(-1, 1, (1, frames, size, size, 3)).astype(np.float32)
     model = InceptionI3D(num_classes=classes, packed_stem=packed_stem)
     got, _ = model.apply(variables, jnp.asarray(x))
     expected = tf_i3d_forward(x, jax.tree_util.tree_map(np.asarray, variables))
-    np.testing.assert_allclose(np.asarray(got), expected, atol=5e-3, rtol=1e-3)
+    scale = np.abs(expected).max()
+    assert scale > 1e-2, f"degenerate activations (scale {scale}) — vacuous test"
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, expected / scale, atol=2e-5
+    )
+
+
+def test_stem_input_gradient_matches_tf(rng):
+    """Gradient golden through the packed stem (+BN+ReLU) vs tf.GradientTape.
+
+    The stem is this framework's most custom backward code (space-to-depth
+    kernel repack, temporal unroll, packed-space custom VJPs), so its input
+    gradient is pinned against TF exactly.
+
+    Why not the FULL network: measured, a whole-net elementwise gradient
+    golden across conv backends is ill-posed — (a) pool-gradient TIE routing
+    is implementation-defined even within TF itself (its oneDNN stride-2
+    kernel routes 8/1024 post-ReLU ties differently from its own stride-1
+    kernel and from XLA's select-and-scatter; isolated-op check), and
+    (b) ~1e-7 accumulation differences between conv backends flip near-tied
+    pool argmaxes, and each flip reroutes O(1) cotangent mass — by Mixed_3b
+    the input gradients of TF-CPU and XLA disagree almost everywhere
+    pointwise while the forwards agree to 5e-7.  The reference's own cuDNN
+    is a third tie/accumulation behavior, so pointwise full-net gradient
+    parity does not exist between ANY two stacks; the per-op gradient
+    goldens (here, tests/test_maxpool.py, tests/test_packed_apply.py,
+    tests/test_video_resnet.py) are the well-posed granularity.
+    """
+    frames, size = 8, 64
+    variables = init_i3d_params(
+        jax.random.key(1), num_classes=5, frames=frames, size=size
+    )
+    np_vars = jax.tree_util.tree_map(np.asarray, variables)
+    p, s = np_vars["params"], np_vars["batch_stats"]
+    x = rng.uniform(-1, 1, (1, frames, size, size, 3)).astype(np.float32)
+    dy_np = rng.normal(
+        size=(1, frames // 2, size // 2, size // 2, 64)
+    ).astype(np.float32)
+
+    xt = tf.Variable(x)
+    with tf.GradientTape() as tape:
+        net = tf_unit3d(xt, p["Conv3d_1a_7x7"], s["Conv3d_1a_7x7"], stride=(2, 2, 2))
+        loss = tf.reduce_sum(net * dy_np)
+    expected = tape.gradient(loss, xt).numpy()
+
+    model = InceptionI3D(
+        num_classes=5, packed_stem=True, final_endpoint="Conv3d_1a_7x7"
+    )
+
+    def loss_fn(z):
+        y, _ = model.apply(variables, z)
+        return jnp.sum(y * jnp.asarray(dy_np))
+
+    got = np.asarray(jax.grad(loss_fn)(jnp.asarray(x)))
+    scale = np.abs(expected).max()
+    assert scale > 1e-3, f"degenerate gradient (scale {scale})"
+    np.testing.assert_allclose(got / scale, expected / scale, atol=1e-5)
