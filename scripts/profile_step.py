@@ -24,6 +24,34 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def capture_r2plus1d(outdir: str, steps: int, frames: int, size: int, batch: int):
+    """Profile the torch-world universal step (r2plus1d_18)."""
+    from bench import build_r2plus1d_engine
+    from flickering_adversarial_video_tpu.engine import RuntimeFlags
+
+    import jax.numpy as jnp
+
+    engine = build_r2plus1d_engine(jnp.bfloat16, frames=frames, size=size)
+    flags = RuntimeFlags(max_norm=0.1)
+    state = engine.init_state()
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "video": jax.device_put(
+            rng.integers(0, 256, (batch, frames, size, size, 3), dtype=np.uint8)
+        ),
+        "labels": jax.device_put(rng.integers(0, 400, (batch,), dtype=np.int32)),
+    }
+    key = jax.random.key(0)
+    for _ in range(3):
+        state, _ = engine.train_step(state, batch_data, flags, key)
+    jax.block_until_ready(state.delta)
+    with jax.profiler.trace(outdir):
+        for _ in range(steps):
+            state, _ = engine.train_step(state, batch_data, flags, key)
+        jax.block_until_ready(state.delta)
+    print(f"trace written to {outdir}")
+
+
 def capture(outdir: str, steps: int, frames: int, size: int, batch: int,
             prepacked: bool = False):
     from flickering_adversarial_video_tpu.attack import FlickerSpec
@@ -124,12 +152,16 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--prepacked", action="store_true")
+    ap.add_argument("--model", default="i3d", choices=["i3d", "r2plus1d_18"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--show-text", type=int, default=0)
     args = ap.parse_args()
     if not args.parse_only:
-        capture(
-            args.outdir, args.steps, args.frames, args.size, args.batch,
-            prepacked=args.prepacked,
-        )
+        if args.model == "r2plus1d_18":
+            capture_r2plus1d(args.outdir, args.steps, args.frames, args.size, args.batch)
+        else:
+            capture(
+                args.outdir, args.steps, args.frames, args.size, args.batch,
+                prepacked=args.prepacked,
+            )
     summarize(args.outdir, args.top, steps=args.steps, show_text=args.show_text)
