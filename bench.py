@@ -109,7 +109,10 @@ def build_r2plus1d_engine(compute_dtype, frames=16, size=112):
     (r2plus1d_main_universal_attack.py:130-149 geometry, batch 16)."""
     from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
     from flickering_adversarial_video_tpu.engine import AttackConfig, AttackEngine
-    from flickering_adversarial_video_tpu.models.video_resnet import r2plus1d_18
+    from flickering_adversarial_video_tpu.models.video_resnet import (
+        make_packed_apply_fn,
+        r2plus1d_18,
+    )
 
     model = r2plus1d_18(compute_dtype=compute_dtype)
     variables = jax.jit(model.init)(
@@ -120,7 +123,12 @@ def build_r2plus1d_engine(compute_dtype, frames=16, size=112):
         norm_world="meanstd", reg_weighting="torch", learning_rate=1e-3
     )
     return AttackEngine(
-        model.apply, variables, spec, cfg, track_probs=False
+        model.apply,
+        variables,
+        spec,
+        cfg,
+        track_probs=False,
+        apply_packed_fn=make_packed_apply_fn("r2plus1d_18", 400, compute_dtype),
     )
 
 

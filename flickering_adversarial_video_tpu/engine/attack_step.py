@@ -231,39 +231,79 @@ class AttackEngine:
         return batch["video"], False
 
     def _packed_supported(self) -> bool:
-        from ..attack.perturbation import FlickerSpec
+        from ..attack.perturbation import FlickerSpec, TorchStyleFlickerSpec
 
+        if self.apply_packed_fn is None or self.config.enable_cyclic:
+            return False
+        if self.config.norm_world == "tanh":
+            return isinstance(self.spec, FlickerSpec) and not self.config.use_pallas_fused
+        # torch world: spatial-only pack; flickering delta only (not sparse)
         return (
-            self.apply_packed_fn is not None
-            and isinstance(self.spec, FlickerSpec)
-            and self.config.norm_world == "tanh"
-            and not self.config.enable_cyclic
-            and not self.config.use_pallas_fused
+            isinstance(self.spec, TorchStyleFlickerSpec)
+            and self.spec.height == 1
+            and self.spec.width == 1
         )
 
     def _packed_eligible(self, video: jax.Array, prepacked: bool = False) -> bool:
         """Static (trace-time) eligibility for the packed-preprocess path."""
-        from ..ops.packed_apply import packable
+        from ..ops.packed_apply import packable, packable_spatial
 
         if prepacked:
             if not self._packed_supported():
                 raise ValueError(
                     "batch carries 'video_packed' but the engine cannot take "
-                    "the packed path (needs apply_packed_fn + FlickerSpec + "
-                    "tanh world, no cyclic/pallas modes)"
+                    "the packed path (needs apply_packed_fn + a flickering "
+                    "spec, no cyclic/pallas modes)"
                 )
             return True
+        shape_ok = (
+            packable(video.shape)
+            if self.config.norm_world == "tanh"
+            else packable_spatial(video.shape)
+        )
         return (
             self._packed_supported()
             and video.dtype == jnp.uint8
-            and packable(video.shape)
+            and shape_ok
         )
 
     def _packed_logits(self, delta, video, flags, prepacked: bool = False) -> jax.Array:
         """clip/mask delta -> packed fused apply -> prepacked victim forward.
         With delta=None the clean forward runs through the same fused op
-        (adv_flag=0; the [-1,1] clip is an identity on u8/128-1 inputs)."""
-        from ..ops.packed_apply import apply_flicker_packed, apply_flicker_prepacked
+        (adv_flag=0; the clamp is an identity on normalized clean pixels)."""
+        from ..ops.packed_apply import (
+            apply_flicker_packed,
+            apply_flicker_prepacked,
+            apply_torch_flicker_packed,
+        )
+
+        if self.config.norm_world == "meanstd":
+            from ..ops.packed_apply import torch_packed_clean
+
+            if prepacked:
+                raise ValueError(
+                    "host-prepacked batches are a tanh-world (tfrecord) "
+                    "pipeline feature; the torch world packs on device"
+                )
+            if delta is None:
+                # reference clean forward: normalize only, no clamp
+                # (Perturbation.forward returns x when adversarial=False)
+                clean_packed = torch_packed_clean(
+                    video, tuple(self.spec.mean), tuple(self.spec.std)
+                )
+                return self.apply_packed_fn(self.variables, clean_packed)
+            lo, hi = self.spec.clamp_range
+            adv_packed = apply_torch_flicker_packed(
+                video,
+                delta,
+                jnp.asarray(flags.adv_flag, jnp.float32),
+                jnp.asarray(flags.max_norm, jnp.float32),
+                tuple(self.spec.mean),
+                tuple(self.spec.std),
+                lo,
+                hi,
+            )
+            return self.apply_packed_fn(self.variables, adv_packed)
 
         if delta is None:
             clipped = jnp.zeros(self.spec.shape, jnp.float32)

@@ -185,14 +185,15 @@ class _Kernel(nn.Module):
         )
 
 
-def _packed_spatial_conv(x, kernel, dt):
+def _packed_spatial_conv(x, kernel, dt, prepacked=False):
     """Stride-(1,2,2) C_in=3 stem conv via spatial space-to-depth: identical
     math (torch symmetric pad 3 -> packed pads (2,1)), 4x the MXU input
     lanes.  The stem is the dominant cost of the video-ResNet forward on TPU
-    (C_in=3 uses 3/128 lanes); see ops/space_to_depth.py."""
+    (C_in=3 uses 3/128 lanes); see ops/space_to_depth.py.
+    prepacked=True: x already arrives in the packed layout."""
     from ..ops.space_to_depth import pack_conv_spatial, pack_input
 
-    xp = pack_input(x.astype(dt), axes=(2, 3))
+    xp = x.astype(dt) if prepacked else pack_input(x.astype(dt), axes=(2, 3))
     kp, pad_h, pad_w = pack_conv_spatial(kernel, 3, 3)
     kt = kernel.shape[0]
     pad_t = (kt // 2, kt // 2)  # torch padding=(1,3,3) or (0,3,3)
@@ -215,11 +216,18 @@ def _stem_can_pack(x) -> bool:
 class R3DStem(nn.Module):
     compute_dtype: Any = jnp.float32
     packed: bool = True
+    # input arrives already spatially packed ([B,T,H/2,W/2,4C]): the engine
+    # fused the pack into the uint8 preprocess (ops/packed_apply.py)
+    prepacked_input: bool = False
 
     @nn.compact
     def __call__(self, x):
         dt = self.compute_dtype
-        if self.packed and _stem_can_pack(x):
+        if self.prepacked_input:
+            cin = x.shape[-1] // 4
+            kernel = _Kernel((3, 7, 7, cin, 64), name="conv")()
+            x = _packed_spatial_conv(x, kernel, dt, prepacked=True)
+        elif self.packed and _stem_can_pack(x):
             kernel = _Kernel((3, 7, 7, x.shape[-1], 64), name="conv")()
             x = _packed_spatial_conv(x, kernel, dt)
         else:
@@ -231,11 +239,16 @@ class R3DStem(nn.Module):
 class R2Plus1DStem(nn.Module):
     compute_dtype: Any = jnp.float32
     packed: bool = True
+    prepacked_input: bool = False
 
     @nn.compact
     def __call__(self, x):
         dt = self.compute_dtype
-        if self.packed and _stem_can_pack(x):
+        if self.prepacked_input:
+            cin = x.shape[-1] // 4
+            kernel = _Kernel((1, 7, 7, cin, 45), name="conv_s")()
+            x = _packed_spatial_conv(x, kernel, dt, prepacked=True)
+        elif self.packed and _stem_can_pack(x):
             kernel = _Kernel((1, 7, 7, x.shape[-1], 45), name="conv_s")()
             x = _packed_spatial_conv(x, kernel, dt)
         else:
@@ -263,6 +276,10 @@ class VideoResNet(nn.Module):
     variant: str = "r3d_18"
     num_classes: int = 400
     compute_dtype: Any = jnp.float32
+    # __call__ receives the video already spatially packed
+    # ([B,T,H/2,W/2,4C]); parameters identical to the unpacked model
+    # (ops/packed_apply.py apply_torch_flicker_packed path).
+    prepacked_stem_input: bool = False
 
     def _stage_convs(self) -> Tuple[str, str, str, str]:
         family = self.variant.rsplit("_", 1)[0]
@@ -279,9 +296,13 @@ class VideoResNet(nn.Module):
         dt = self.compute_dtype
         x = x.astype(dt)
         if self.variant.startswith("r2plus1d"):
-            x = R2Plus1DStem(dt, name="stem")(x)
+            x = R2Plus1DStem(
+                dt, prepacked_input=self.prepacked_stem_input, name="stem"
+            )(x)
         else:
-            x = R3DStem(dt, name="stem")(x)
+            x = R3DStem(
+                dt, prepacked_input=self.prepacked_stem_input, name="stem"
+            )(x)
 
         convs = self._stage_convs()
         depth = self.variant.rsplit("_", 1)[1]
@@ -321,3 +342,17 @@ def r2plus1d_34(num_classes: int = 400, compute_dtype: Any = jnp.float32) -> Vid
     """The torch.hub ig65m/kinetics victim family (model.py:46-52); pass
     num_classes 359/487 for the ig65m checkpoints."""
     return VideoResNet("r2plus1d_34", num_classes, compute_dtype)
+
+
+def make_packed_apply_fn(
+    variant: str, num_classes: int = 400, compute_dtype: Any = jnp.bfloat16
+):
+    """(variables, packed_x) -> logits over the prepacked-stem VideoResNet.
+
+    Shares the variables of the unpacked model (packing is apply-time);
+    consumed by the engine's torch-world packed fast path
+    (ops/packed_apply.py apply_torch_flicker_packed)."""
+    packed_model = VideoResNet(
+        variant, num_classes, compute_dtype, prepacked_stem_input=True
+    )
+    return lambda variables, packed_x: packed_model.apply(variables, packed_x)

@@ -166,3 +166,109 @@ def packable(video_shape: Tuple[int, ...]) -> bool:
         len(video_shape) == 5
         and all(s % 2 == 0 for s in video_shape[1:4])
     )
+
+
+# ---------------- torch world (mean/std, spatial-only pack) ----------------
+#
+# The video-ResNet stems pack H,W only (stride (1,2,2) convs; T untouched),
+# so the packed channel order is (parity_h, parity_w, c) and the per-channel
+# mean/std/delta patterns tile by 4.  Same rationale as the tanh world: the
+# backward otherwise runs a C_out=12 transposed conv in f32 plus an unpack
+# (measured 2.2 ms at 6 TF/s in the r2plus1d step, PERF.md round 2); in
+# packed space the delta cotangent reduces without ever unpacking.
+
+
+def packable_spatial(video_shape: Tuple[int, ...]) -> bool:
+    """[B,T,H,W,C] with even H/W (T may be anything: spatial-only pack)."""
+    return (
+        len(video_shape) == 5
+        and video_shape[2] % 2 == 0
+        and video_shape[3] % 2 == 0
+    )
+
+
+def _pack_u8_spatial(video_u8):
+    return jax.lax.optimization_barrier(pack_input(video_u8, axes=(2, 3)))
+
+
+def _tile4(v):
+    """Per-channel vector [C] -> packed-channel vector [4C] ((ph, pw, c))."""
+    return jnp.tile(jnp.asarray(v, jnp.float32), 4)
+
+
+def _torch_packed_math(
+    packed_u8, delta, adv_flag, max_norm, mean, std, clamp_lo, clamp_hi, out_dtype
+):
+    """Packed-space apply_perturbation_torch_style (model.py:80-101)."""
+    c = len(mean)
+    x = packed_u8.astype(jnp.float32) / 255.0
+    x = (x - _tile4(mean)) / _tile4(std)
+    max_norm = jnp.asarray(max_norm, jnp.float32)
+    d = jnp.clip(delta, -max_norm, max_norm) / jnp.asarray(std, jnp.float32)
+    t = delta.shape[0]
+    dpk = jnp.tile(d.reshape(t, 1, 1, c), (1, 1, 1, 4))
+    adv = x + jnp.asarray(adv_flag, jnp.float32) * dpk[None]
+    return jnp.clip(adv, clamp_lo, clamp_hi).astype(out_dtype)
+
+
+def torch_packed_clean(
+    video_u8: jax.Array,
+    mean: Tuple[float, ...],
+    std: Tuple[float, ...],
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Packed clean forward input: normalize only, NO clamp — the reference's
+    Perturbation.forward returns x untouched when adversarial=False
+    (model.py:82-83)."""
+    packed_u8 = _pack_u8_spatial(video_u8)
+    x = packed_u8.astype(jnp.float32) / 255.0
+    x = (x - _tile4(mean)) / _tile4(std)
+    return x.astype(out_dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def apply_torch_flicker_packed(
+    video_u8: jax.Array,
+    delta: jax.Array,
+    adv_flag: jax.Array,
+    max_norm: jax.Array,
+    mean: Tuple[float, ...],
+    std: Tuple[float, ...],
+    clamp_lo: float,
+    clamp_hi: float,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Fused uint8 mean/std-normalize + torch-style flicker apply, spatially
+    packed: [B,T,H,W,C] u8 -> [B,T,H/2,W/2,4C] for a prepacked-stem
+    video-ResNet.  delta is the RAW [T,1,1,C] perturbation (the max_norm
+    clamp and /std happen inside, as Perturbation.forward does)."""
+    packed_u8 = _pack_u8_spatial(video_u8)
+    return _torch_packed_math(
+        packed_u8, delta, adv_flag, max_norm, mean, std, clamp_lo, clamp_hi, out_dtype
+    )
+
+
+def _torch_fwd(video_u8, delta, adv_flag, max_norm, mean, std, lo, hi, out_dtype):
+    packed_u8 = _pack_u8_spatial(video_u8)
+    out = _torch_packed_math(
+        packed_u8, delta, adv_flag, max_norm, mean, std, lo, hi, out_dtype
+    )
+    return out, (packed_u8, delta, adv_flag, max_norm, video_u8.shape)
+
+
+def _torch_bwd(mean, std, lo, hi, out_dtype, res, g):
+    packed_u8, delta, adv_flag, max_norm, video_shape = res
+    _, vjp = jax.vjp(
+        lambda d, a, m: _torch_packed_math(
+            packed_u8, d, a, m, mean, std, lo, hi, out_dtype
+        ),
+        delta,
+        jnp.asarray(adv_flag, jnp.float32),
+        jnp.asarray(max_norm, jnp.float32),
+    )
+    d_delta, d_flag, d_norm = vjp(g)
+    d_video = np.zeros(video_shape, dtype=jax.dtypes.float0)
+    return d_video, d_delta, d_flag, d_norm
+
+
+apply_torch_flicker_packed.defvjp(_torch_fwd, _torch_bwd)

@@ -207,6 +207,16 @@ def build_engine(
         apply_packed_fn = make_packed_apply_fn(
             num_classes or reg.num_classes, compute_dtype
         )
+    elif (
+        model_name in ("r3d_18", "mc3_18", "r2plus1d_18", "r2plus1d_34")
+        and isinstance(variables, dict)
+        and "stem" in variables.get("params", {})
+    ):
+        from ..models.video_resnet import make_packed_apply_fn as make_vr_packed
+
+        apply_packed_fn = make_vr_packed(
+            model_name, num_classes or reg.num_classes, compute_dtype
+        )
 
     engine = AttackEngine(
         apply_fn,

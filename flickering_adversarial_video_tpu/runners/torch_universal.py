@@ -62,7 +62,15 @@ def run(
         learning_rate=lr,
         target_class=loss_cfg.get("target_class"),
     )
-    engine = AttackEngine(apply_fn, variables, spec, cfg, track_probs=True)
+    from ..models.video_resnet import make_packed_apply_fn as _make_vr_packed
+
+    apply_packed_fn = None
+    if isinstance(variables, dict) and "stem" in variables.get("params", {}):
+        apply_packed_fn = _make_vr_packed(model_name, compute_dtype=jnp.bfloat16)
+    engine = AttackEngine(
+        apply_fn, variables, spec, cfg, track_probs=True,
+        apply_packed_fn=apply_packed_fn,
+    )
     flags = RuntimeFlags(
         beta0=loss_cfg.get("lambda_", 1.0),
         beta1=loss_cfg.get("beta_1", 0.5),

@@ -210,3 +210,92 @@ class TestEnginePackedPath:
         state = engine.init_state()
         state, m = engine.train_step(state, batch, RuntimeFlags(), jax.random.key(0))
         assert np.isfinite(float(m["total_loss"]))
+
+
+class TestTorchWorldPackedPath:
+    """Torch-world (mean/std) spatially-packed fast path: must reproduce the
+    generic engine path exactly (ops/packed_apply.py apply_torch_flicker_packed)."""
+
+    def _engines(self, frames=4, size=16, k=6):
+        from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
+        from flickering_adversarial_video_tpu.models.video_resnet import (
+            VideoResNet,
+            make_packed_apply_fn,
+        )
+
+        model = VideoResNet("r2plus1d_18", k, jnp.float32)
+        variables = model.init(
+            jax.random.key(4), jnp.zeros((1, frames, size, size, 3))
+        )
+        spec = TorchStyleFlickerSpec(frames=frames, max_norm=0.2)
+        cfg = AttackConfig(norm_world="meanstd", reg_weighting="torch")
+        plain = AttackEngine(model.apply, variables, spec, cfg)
+        packed = AttackEngine(
+            model.apply,
+            variables,
+            spec,
+            cfg,
+            apply_packed_fn=make_packed_apply_fn("r2plus1d_18", k, jnp.float32),
+        )
+        return plain, packed, spec
+
+    def test_train_trajectory_matches_generic(self, rng):
+        plain, packed, _ = self._engines()
+        batch = {
+            "video": jnp.asarray(
+                rng.integers(0, 256, (2, 4, 16, 16, 3), dtype=np.uint8)
+            ),
+            "labels": jnp.asarray(rng.integers(0, 6, (2,))),
+        }
+        flags = RuntimeFlags(max_norm=0.2)
+        key = jax.random.key(0)
+
+        def run(engine):
+            state = engine.init_state(jax.random.key(7))
+            outs = []
+            for _ in range(3):
+                state, m = engine.train_step(state, batch, flags, key)
+                outs.append((np.asarray(state.delta), float(m["total_loss"])))
+            return outs
+
+        for (d1, l1), (d2, l2) in zip(run(plain), run(packed)):
+            assert l2 == pytest.approx(l1, rel=1e-5)
+            np.testing.assert_allclose(d2, d1, rtol=1e-4, atol=1e-8)
+
+    def test_eval_counters_match_generic(self, rng):
+        plain, packed, spec = self._engines()
+        batch = {
+            "video": jnp.asarray(
+                rng.integers(0, 256, (3, 4, 16, 16, 3), dtype=np.uint8)
+            ),
+            "labels": jnp.asarray(rng.integers(0, 6, (3,))),
+        }
+        flags = RuntimeFlags(max_norm=0.2)
+        key = jax.random.key(0)
+        delta = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (4, 1, 1, 3)).astype(np.float32)
+        )
+        e1 = plain.eval_step(delta, batch, flags, key)
+        e2 = packed.eval_step(delta, batch, flags, key)
+        assert int(e1["miss"]) == int(e2["miss"])
+        assert int(e1["valid"]) == int(e2["valid"])
+        np.testing.assert_allclose(
+            np.asarray(e2["clean_probs"]), np.asarray(e1["clean_probs"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_prepacked_video_resnet_matches_unpacked(self, rng):
+        from flickering_adversarial_video_tpu.models.video_resnet import VideoResNet
+        from flickering_adversarial_video_tpu.ops.space_to_depth import pack_input
+
+        model = VideoResNet("r3d_18", 5, jnp.float32)
+        packed_model = VideoResNet(
+            "r3d_18", 5, jnp.float32, prepacked_stem_input=True
+        )
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 3)))
+        x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 3)).astype(np.float32))
+        ref = model.apply(variables, x)
+        got = packed_model.apply(variables, pack_input(x, axes=(2, 3)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
