@@ -209,10 +209,13 @@ def time_reference_protocol(model, variables, batch, feed_per_step=False):
 
     def timed_trial(delta, opt_state, ref_steps=8, fetch=False):
         t0 = time.perf_counter()
-        loss = None
         for _ in range(ref_steps):
-            delta, opt_state, loss = one_reference_step(delta, opt_state, fetch)
-        _ = float(loss)  # one chain-forcing readback
+            delta, opt_state, _ = one_reference_step(delta, opt_state, fetch)
+        # read DELTA, not loss: delta carries the chain_zero fold of the last
+        # step's softmax/clean-logits results, so the readback forces every
+        # dispatched program inside the window (loss would leave the final
+        # step's two fetch forwards running into the next trial)
+        _ = float(delta.reshape(-1)[0])
         return ref_steps / (time.perf_counter() - t0), delta, opt_state
 
     # warmup (compiles)

@@ -97,6 +97,31 @@ def build_victim(
     return apply_fn, variables
 
 
+def make_victim_packed_fn(model_name, variables, num_classes, compute_dtype):
+    """The packed-input forward for a victim, or None.
+
+    Single gate for the engine's packed fast path (ops/packed_apply.py):
+    keyed on the variables actually holding the expected tree so
+    monkeypatched/fake victims in tests degrade to the generic path, and so
+    every caller (build_engine, the torch runners, bench) wires the same
+    num_classes/dtype as the generic forward."""
+    if not isinstance(variables, dict):
+        return None
+    params = variables.get("params", {})
+    if model_name == "i3d" and "Conv3d_1a_7x7" in params:
+        from ..models.i3d import make_packed_apply_fn
+
+        return make_packed_apply_fn(num_classes, compute_dtype)
+    if (
+        model_name in ("r3d_18", "mc3_18", "r2plus1d_18", "r2plus1d_34")
+        and "stem" in params
+    ):
+        from ..models.video_resnet import make_packed_apply_fn as make_vr_packed
+
+        return make_vr_packed(model_name, num_classes, compute_dtype)
+    return None
+
+
 def build_engine(
     attack_cfg,
     model_cfg,
@@ -196,27 +221,9 @@ def build_engine(
     # takes space-to-depth packed input over the SAME variables.  Gated on
     # the variables actually holding an I3D tree so monkeypatched/fake
     # victims in tests degrade to the generic path.
-    apply_packed_fn = None
-    if (
-        model_name == "i3d"
-        and isinstance(variables, dict)
-        and "Conv3d_1a_7x7" in variables.get("params", {})
-    ):
-        from ..models.i3d import make_packed_apply_fn
-
-        apply_packed_fn = make_packed_apply_fn(
-            num_classes or reg.num_classes, compute_dtype
-        )
-    elif (
-        model_name in ("r3d_18", "mc3_18", "r2plus1d_18", "r2plus1d_34")
-        and isinstance(variables, dict)
-        and "stem" in variables.get("params", {})
-    ):
-        from ..models.video_resnet import make_packed_apply_fn as make_vr_packed
-
-        apply_packed_fn = make_vr_packed(
-            model_name, num_classes or reg.num_classes, compute_dtype
-        )
+    apply_packed_fn = make_victim_packed_fn(
+        model_name, variables, num_classes or reg.num_classes, compute_dtype
+    )
 
     engine = AttackEngine(
         apply_fn,
@@ -252,6 +259,10 @@ def make_shard_batches(
     size_eff = size or 224
     prepack = (
         bool(attack_cfg.get("PREPACK_INPUT", True))
+        # host prepack emits the tanh-world 2x2x2 layout; the torch world's
+        # packed path is spatial-only and packs ON DEVICE — feeding it
+        # host-packed batches would crash the engine
+        and engine.config.norm_world == "tanh"
         and engine._packed_supported()
         and frames % 2 == 0
         and size_eff % 2 == 0

@@ -62,14 +62,13 @@ def run(
         learning_rate=lr,
         target_class=loss_cfg.get("target_class"),
     )
-    from ..models.video_resnet import make_packed_apply_fn as _make_vr_packed
+    from .common import make_victim_packed_fn
 
-    apply_packed_fn = None
-    if isinstance(variables, dict) and "stem" in variables.get("params", {}):
-        apply_packed_fn = _make_vr_packed(model_name, compute_dtype=jnp.bfloat16)
     engine = AttackEngine(
         apply_fn, variables, spec, cfg, track_probs=True,
-        apply_packed_fn=apply_packed_fn,
+        apply_packed_fn=make_victim_packed_fn(
+            model_name, variables, 400, jnp.bfloat16
+        ),
     )
     flags = RuntimeFlags(
         beta0=loss_cfg.get("lambda_", 1.0),

@@ -156,6 +156,17 @@ if __name__ == "__main__":
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--show-text", type=int, default=0)
     args = ap.parse_args()
+    if args.model == "r2plus1d_18":
+        # torch-world bench geometry (PERF.md): only override what the user
+        # left at the I3D defaults
+        if args.frames == 64:
+            args.frames = 16
+        if args.size == 224:
+            args.size = 112
+        if args.batch == 8:
+            args.batch = 16
+        if args.prepacked:
+            ap.error("--prepacked is a tanh-world (i3d) pipeline feature")
     if not args.parse_only:
         if args.model == "r2plus1d_18":
             capture_r2plus1d(args.outdir, args.steps, args.frames, args.size, args.batch)

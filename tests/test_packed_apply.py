@@ -299,3 +299,33 @@ class TestTorchWorldPackedPath:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+class TestPrepackGating:
+    def test_shard_batches_never_prepacks_torch_world(self, rng):
+        """Regression: a torch-world engine supports the (device) packed path
+        but must NOT receive host-prepacked (tanh 2x2x2 layout) batches from
+        the tfrecord pipeline — the gating lives in make_shard_batches."""
+        from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
+        from flickering_adversarial_video_tpu.models.video_resnet import (
+            VideoResNet,
+            make_packed_apply_fn,
+        )
+        from flickering_adversarial_video_tpu.runners.common import make_shard_batches
+        from flickering_adversarial_video_tpu.utils.config import AttrDict
+
+        model = VideoResNet("r2plus1d_18", 5, jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 3)))
+        engine = AttackEngine(
+            model.apply,
+            variables,
+            TorchStyleFlickerSpec(frames=4, max_norm=0.2),
+            AttackConfig(norm_world="meanstd", reg_weighting="torch"),
+            apply_packed_fn=make_packed_apply_fn("r2plus1d_18", 5, jnp.float32),
+        )
+        assert engine._packed_supported()  # device-side packed path exists
+        _, prepack = make_shard_batches(
+            AttrDict({}), engine, lambda *a, **kw: iter(()),
+            frames=4, size=16, batch_size=2,
+        )
+        assert prepack is False
