@@ -86,18 +86,20 @@ def _route_axis(
     taken = jnp.zeros(pooled.shape, jnp.bool_)
 
     if s == 1:
-        # overlapping windows: accumulate on the padded source grid with
-        # contiguous slice-adds (no axis splitting, no extra temporaries)
-        acc_shape = list(source.shape)
-        acc_shape[axis] = src_pad.shape[axis]
-        acc = jnp.zeros(acc_shape, g.dtype)
+        # overlapping windows: accumulate as pad+add chains — explicit
+        # jnp.pad fuses reliably, whereas .at[slice].add lowers to real
+        # dynamic-update-slices at 36 GiB/s on B=1 shapes (PERF.md round 2)
+        pad_len = src_pad.shape[axis]
+        acc = None
         for k in range(w):
             cand = lax.slice_in_dim(src_pad, k, k + out, 1, axis=axis)
             eq = (cand == pooled) & ~taken
             taken = taken | eq
-            idx = [slice(None)] * len(acc_shape)
-            idx[axis] = slice(k, k + out)
-            acc = acc.at[tuple(idx)].add(g * eq.astype(g.dtype))
+            contrib = g * eq.astype(g.dtype)
+            pad_cfg = [(0, 0)] * source.ndim
+            pad_cfg[axis] = (k, pad_len - out - k)
+            shifted = jnp.pad(contrib, pad_cfg)
+            acc = shifted if acc is None else acc + shifted
         return lax.slice_in_dim(acc, pad_lo, pad_lo + n, 1, axis=axis)
 
     # strided windows: for a fixed tap k the target positions {w*s + k} never
