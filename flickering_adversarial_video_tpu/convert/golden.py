@@ -44,6 +44,16 @@ def canonical_clip(norm_world: str, frames: int, size: int) -> np.ndarray:
     return (x - mean) / std
 
 
+def _top5(logits_1d: np.ndarray) -> np.ndarray:
+    """Top-5 indices by descending logit, ties broken by ascending class id.
+
+    A stable sort on the negated values makes the order deterministic under
+    exactly-equal logits, so the recorded and recomputed top-5 cannot swap
+    between XLA versions when two classes tie (plain argsort[::-1] reverses
+    the tie order)."""
+    return np.argsort(-logits_1d, kind="stable")[:5].astype(np.int32)
+
+
 def compute_logits(
     model_name: str, variables: Dict[str, Any], num_classes: Optional[int] = None
 ) -> np.ndarray:
@@ -76,7 +86,7 @@ def dump_golden(
     spec = MODEL_REGISTRY[model_name]
     frames, size = GOLDEN_GEOMETRY[spec.norm_world]
     logits = compute_logits(model_name, variables, num_classes=num_classes)
-    top5 = np.argsort(logits[0])[::-1][:5].astype(np.int32)
+    top5 = _top5(logits[0])
     payload = dict(
         model=model_name,
         num_classes=np.int32(logits.shape[-1]),
@@ -113,7 +123,7 @@ def verify_golden(
     variables = load_variables(weights_path)
     logits = compute_logits(model_name, variables, num_classes=int(z["num_classes"]))
     ref = z["logits"]
-    top5 = np.argsort(logits[0])[::-1][:5]
+    top5 = _top5(logits[0])
     max_abs = float(np.max(np.abs(logits - ref)))
     report = {
         "model": model_name,

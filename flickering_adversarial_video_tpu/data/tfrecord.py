@@ -255,8 +255,12 @@ def tfrecord_batches(
     for video, label in record_iter():
         if not native_packed:
             if frames is not None:
-                if prepack and video.shape[0] < frames:
-                    continue  # skip-short rule, as the native packed path does
+                # skip-short rule on EVERY read path (the native packed reader
+                # drops clips shorter than `frames` in C++): toggling
+                # PREPACK_INPUT must not change dataset composition, and a
+                # ragged short clip would crash np.stack below
+                if video.shape[0] < frames:
+                    continue
                 video = video[-frames:]
             if prepack:
                 from .packing import pack_video_np

@@ -126,18 +126,37 @@ def _pool_fwd(x, interpret):
     return _fwd_impl(x, interpret), x
 
 
-def _pool_bwd(interpret, x, dy):
-    # exactly the autodiff backward of reduce-window-max: XLA's
-    # select-and-scatter-add with the GE (first-match) selector — but without
-    # re-running the forward
-    dx = lax.select_and_scatter_add_p.bind(
-        dy,
+def _reduce_window_fwd(x):
+    return lax.reduce_window(
         x,
-        select_prim=lax.ge_p,
+        -jnp.inf,
+        lax.max,
         window_dimensions=(1, 1, 3, 3, 1),
         window_strides=(1, 1, 2, 2, 1),
         padding=((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)),
     )
+
+
+def _pool_bwd(interpret, x, dy):
+    # exactly the autodiff backward of reduce-window-max: XLA's
+    # select-and-scatter-add with the GE (first-match) selector — without
+    # re-running the forward when the (private, no-stability-guarantee)
+    # primitive is available, else via jax.vjp over reduce_window (one extra
+    # forward, same numerics) so a JAX upgrade degrades instead of breaking
+    ssa = getattr(lax, "select_and_scatter_add_p", None)
+    ge = getattr(lax, "ge_p", None)
+    if ssa is not None and ge is not None:
+        dx = ssa.bind(
+            dy,
+            x,
+            select_prim=ge,
+            window_dimensions=(1, 1, 3, 3, 1),
+            window_strides=(1, 1, 2, 2, 1),
+            padding=((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)),
+        )
+    else:
+        _, pullback = jax.vjp(_reduce_window_fwd, x)
+        (dx,) = pullback(dy)
     return (dx,)
 
 
