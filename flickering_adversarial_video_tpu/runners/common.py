@@ -19,7 +19,24 @@ from ..utils.labels import load_label_map
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
 
+def apply_platform_env() -> None:
+    """Honor FLICKER_PLATFORM=cpu|tpu|axon for CLI entry points.
+
+    Plain JAX_PLATFORMS is unreliable in TPU-pinned environments (a
+    sitecustomize can re-pin the platform after env inspection — see
+    tests/conftest.py); jax.config.update before backend init is the
+    authoritative switch.  Used by the rehearsal mode of
+    scripts/real_weight_parity.sh to force the whole chain onto CPU."""
+    plat = os.environ.get("FLICKER_PLATFORM")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception as e:  # backend already initialized: warn, don't die
+            print(f"[warn] FLICKER_PLATFORM={plat} not applied: {e}")
+
+
 def enable_compilation_cache(repo_root: Optional[str] = None) -> None:
+    apply_platform_env()
     root = repo_root or os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
@@ -95,6 +112,25 @@ def build_victim(
     else:
         apply_fn = model.apply
     return apply_fn, variables
+
+
+def infer_num_classes(variables, model_name: str, default: Optional[int] = None) -> int:
+    """Head width actually present in `variables` (checkpoint truth), falling
+    back to the registry default.  Flax Dense keeps the checkpoint kernel
+    shape regardless of the configured `features`, so the kernel's last dim
+    is the authoritative class count (ig65m r2plus1d_34 ships 359/487-way
+    heads, utils_cv/action_recognition/model.py:402-421)."""
+    from ..models.registry import MODEL_REGISTRY
+
+    try:
+        params = variables["params"]
+        if model_name == "i3d":
+            kernel = params["Logits"]["conv3d"]["kernel"]
+        else:
+            kernel = params["fc"]["kernel"]
+        return int(kernel.shape[-1])
+    except (KeyError, TypeError, AttributeError, IndexError):
+        return default or MODEL_REGISTRY[model_name].num_classes
 
 
 def make_victim_packed_fn(model_name, variables, num_classes, compute_dtype):

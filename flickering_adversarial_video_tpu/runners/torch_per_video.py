@@ -50,10 +50,13 @@ def run(
     model_dir: str = "results_per_video",
     loss_cfg: Optional[dict] = None,
     max_videos: Optional[int] = None,
+    num_classes: Optional[int] = None,
+    compute_dtype=jnp.bfloat16,
 ):
     loss_cfg = loss_cfg or {}
     apply_fn, variables = build_victim(
-        model_name, ckpt_path, jnp.bfloat16, sample_length, input_size
+        model_name, ckpt_path, compute_dtype, sample_length, input_size,
+        num_classes=num_classes,
     )
     spec = TorchStyleFlickerSpec(frames=sample_length, max_norm=l_inf_norm)
     cfg = AttackConfig(
@@ -65,12 +68,14 @@ def run(
         reg_weighting="torch",
         target_class=loss_cfg.get("target_class"),
     )
-    from .common import make_victim_packed_fn
+    from .common import infer_num_classes, make_victim_packed_fn
 
     engine = AttackEngine(
         apply_fn, variables, spec, cfg, track_probs=False,
         apply_packed_fn=make_victim_packed_fn(
-            model_name, variables, 400, jnp.bfloat16
+            model_name, variables,
+            infer_num_classes(variables, model_name, num_classes),
+            compute_dtype,
         ),
     )
     flags = RuntimeFlags(
@@ -106,9 +111,16 @@ def main(argv=None):
     p.add_argument("--num-videos", type=int, default=100)
     p.add_argument("--linf", type=float, default=0.2)
     p.add_argument("--model-dir", default="results_per_video")
+    p.add_argument(
+        "--num-classes", type=int, default=None,
+        help="head width (359/487 for ig65m r2plus1d_34; default: registry)",
+    )
     args = p.parse_args(argv)
     enable_compilation_cache()
-    labels = load_label_map(None)
+    from ..utils.labels import warn_if_placeholder
+
+    labels = load_label_map(None, num_classes=args.num_classes or 400)
+    warn_if_placeholder(labels)
     class_names = [c.replace(" ", "_") for c in labels]
     records = build_split(args.video_root, class_names, args.num_videos)
     out = run(
@@ -118,6 +130,7 @@ def main(argv=None):
         ckpt_path=args.ckpt,
         l_inf_norm=args.linf,
         model_dir=args.model_dir,
+        num_classes=args.num_classes,
     )
     print(out)
 

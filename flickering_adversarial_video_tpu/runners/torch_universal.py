@@ -45,11 +45,14 @@ def run(
     max_batches: int = None,
     use_one_cycle_policy: bool = False,
     warmup_pct: float = 0.3,
+    num_classes: int = None,
+    compute_dtype=jnp.bfloat16,
 ):
     loss_cfg = loss_cfg or {}
     batch_size = batch_size or BATCH_SIZES.get(model_name, 16)
     apply_fn, variables = build_victim(
-        model_name, ckpt_path, jnp.bfloat16, sample_length, input_size
+        model_name, ckpt_path, compute_dtype, sample_length, input_size,
+        num_classes=num_classes,
     )
     spec = TorchStyleFlickerSpec(frames=sample_length, max_norm=l_inf_norm)
     cfg = AttackConfig(
@@ -62,12 +65,14 @@ def run(
         learning_rate=lr,
         target_class=loss_cfg.get("target_class"),
     )
-    from .common import make_victim_packed_fn
+    from .common import infer_num_classes, make_victim_packed_fn
 
     engine = AttackEngine(
         apply_fn, variables, spec, cfg, track_probs=True,
         apply_packed_fn=make_victim_packed_fn(
-            model_name, variables, 400, jnp.bfloat16
+            model_name, variables,
+            infer_num_classes(variables, model_name, num_classes),
+            compute_dtype,
         ),
     )
     flags = RuntimeFlags(
@@ -139,6 +144,10 @@ def main(argv=None):
         help="one-cycle LR policy (reference use_one_cycle_policy)",
     )
     p.add_argument("--warmup-pct", type=float, default=0.3)
+    p.add_argument(
+        "--num-classes", type=int, default=None,
+        help="head width (359/487 for ig65m r2plus1d_34; default: registry)",
+    )
     args = p.parse_args(argv)
     enable_compilation_cache()
     run(
@@ -152,6 +161,7 @@ def main(argv=None):
         model_dir=args.model_dir,
         use_one_cycle_policy=args.one_cycle,
         warmup_pct=args.warmup_pct,
+        num_classes=args.num_classes,
     )
 
 

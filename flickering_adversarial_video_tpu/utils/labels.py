@@ -455,6 +455,27 @@ def labels_for_num_classes(num_classes: int) -> List[str]:
     return [f"class_{i:03d}" for i in range(num_classes)]
 
 
+def warn_if_placeholder(labels: List[str]) -> bool:
+    """Print a loud note when a label list is made of placeholder names.
+
+    The ig65m r2plus1d_34 heads (359/487-way; reference
+    utils_cv/action_recognition/model.py:402-441 loads them via torch.hub)
+    ship no public class list, so labels_for_num_classes falls back to
+    `class_NNN` placeholders — runner output must say so instead of letting
+    the user mistake them for real class names."""
+    if labels and all(
+        l == f"class_{i:03d}" for i, l in enumerate(labels[:3])
+    ):
+        print(
+            f"[labels] NOTE: no vendored class list for a {len(labels)}-way "
+            "head (the ig65m 359/487-way lists are not public metadata the "
+            "reference ships); class names in results are placeholders "
+            f"class_000..class_{len(labels) - 1:03d}"
+        )
+        return True
+    return False
+
+
 def load_label_map(
     path: Optional[str] = None, num_classes: int = 400
 ) -> List[str]:
