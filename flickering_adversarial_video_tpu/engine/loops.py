@@ -208,6 +208,7 @@ def batched_attack_loop(
     max_steps: int,
     state: Optional[AttackState] = None,
     eval_every_epochs: int = 1,
+    eval_every_steps: Optional[int] = None,
     checkpointer=None,
     checkpoint_every: Optional[int] = None,
     writer=None,
@@ -221,6 +222,12 @@ def batched_attack_loop(
 
     - checkpoint_every=None -> checkpoint at epoch ends (class-gen mode);
       an int -> every N steps (estimator mode, universal:318).
+    - eval_every_steps: estimator-style throttled eval — the reference's
+      `train_and_evaluate` evaluates on a step throttle tied to the 100-step
+      checkpoints (i3d_adversarial_main_universal.py:314-331,373-380); an int
+      here evaluates every N optimizer steps and SUPERSEDES the epoch-boundary
+      cadence (epoch-end evals are skipped so eval cost stays bounded).
+      None -> epoch-boundary eval only (eval_every_epochs).
     - writer: viz.tensorboard.ScalarWriter or None.
     """
     if state is None:
@@ -291,17 +298,24 @@ def batched_attack_loop(
                     dashboard.update(step, m)
             if checkpointer is not None and checkpoint_every and step % checkpoint_every == 0:
                 checkpointer.save(state)
+            if eval_every_steps and step % eval_every_steps == 0:
+                ev = run_eval()
+                history["perturbation"].append(np.asarray(state.delta))
         if batches_this_epoch == 0:
             # an empty pipeline would otherwise spin this while-loop forever
             raise RuntimeError(
                 "train pipeline yielded no batches (no shards found / all "
                 "records filtered) — check TF_RECORDS_*_PATH (*.tfrecords)"
             )
-        if epoch % eval_every_epochs == 0:
+        if eval_every_steps is None and epoch % eval_every_epochs == 0:
             ev = run_eval()
             history["perturbation"].append(np.asarray(state.delta))
-            if checkpointer is not None and not checkpoint_every:
-                checkpointer.save(state)
+        if (
+            epoch % eval_every_epochs == 0
+            and checkpointer is not None
+            and not checkpoint_every
+        ):
+            checkpointer.save(state)
 
     final_eval = run_eval()
     if checkpointer is not None:

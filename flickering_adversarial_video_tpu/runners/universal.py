@@ -95,6 +95,16 @@ def run(cfg, *, frames: int = 90, size=None, max_steps=None):
         flags,
         max_steps=max_steps or int(attack_cfg.MAX_NUM_STEP),
         state=state,
+        # estimator-style throttled eval: train_and_evaluate evaluates on a
+        # step throttle tied to the 100-step checkpoints
+        # (i3d_adversarial_main_universal.py:314-331,373-380); EVAL_EVERY_STEPS
+        # null/absent keeps the epoch-boundary cadence (documented deviation,
+        # PARITY.md)
+        eval_every_steps=(
+            int(attack_cfg["EVAL_EVERY_STEPS"])
+            if attack_cfg.get("EVAL_EVERY_STEPS")
+            else None
+        ),
         checkpointer=ckpt,
         checkpoint_every=100,
         writer=writer,
@@ -113,10 +123,21 @@ def run(cfg, *, frames: int = 90, size=None, max_steps=None):
 
 
 def main(argv=None):
+    import argparse
+
     argv = argv if argv is not None else sys.argv[1:]
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?", default=None, help="run_config.yml path")
+    p.add_argument("--frames", type=int, default=90)
+    p.add_argument("--size", type=int, default=None)
+    p.add_argument(
+        "--max-steps", type=int, default=None,
+        help="override MAX_NUM_STEP (rehearsal/smoke runs)",
+    )
+    args = p.parse_args(argv)
     enable_compilation_cache()
-    cfg = load_config(argv[0] if argv else None)
-    run(cfg)
+    cfg = load_config(args.config)
+    run(cfg, frames=args.frames, size=args.size, max_steps=args.max_steps)
 
 
 if __name__ == "__main__":

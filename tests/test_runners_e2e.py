@@ -163,6 +163,43 @@ class TestUniversalRunner:
         out2 = universal.run(cfg, frames=FRAMES)
         assert int(out2["state"].step) == 10
 
+    def test_eval_every_steps_cadence(self, rng, tiny_victim, tmp_path, monkeypatch):
+        """EVAL_EVERY_STEPS restores the estimator's step-throttled eval
+        (i3d_adversarial_main_universal.py:314-331,373-380): evals land every
+        N optimizer steps instead of at epoch boundaries."""
+        from flickering_adversarial_video_tpu.runners import universal
+        import flickering_adversarial_video_tpu.runners.universal as u
+        from flickering_adversarial_video_tpu.data.tfrecord import tfrecord_batches
+
+        monkeypatch.setattr(
+            u,
+            "tfrecord_batches",
+            lambda shards, bs, frames=None, **kw: tfrecord_batches(
+                shards, bs, frames=frames,
+                **{**kw, "height": SIZE, "width": SIZE, "use_native": False},
+            ),
+        )
+        shard_dir = _write_shards(tmp_path, rng, tiny_victim)
+        cfg = default_config()
+        ac = cfg.UNIVERSAL_ATTACK
+        ac.TF_RECORDS_TRAIN_PATH = [shard_dir]
+        ac.TF_RECORDS_VAL_PATH = [shard_dir]
+        ac.NUM_OF_TRAIN_TF_RECORDS = 2
+        ac.NUM_OF_VAL_TF_RECORDS = 2
+        ac.BATCH_SIZE = 4
+        ac.PKL_RESULT_PATH = str(tmp_path / "cadence_out")
+        ac.COMPUTE_DTYPE = "float32"
+        ac.MAX_NUM_STEP = 6
+        ac.EVAL_EVERY_STEPS = 2
+
+        out = universal.run(cfg, frames=FRAMES)
+        steps = out["history"]["fool_rate_steps"]
+        # initial eval at step 0, then every 2 steps, then the final eval
+        assert steps[:4] == [0, 2, 4, 6], steps
+        # epoch-boundary evals are superseded: every recorded eval step is on
+        # the throttle grid
+        assert all(s % 2 == 0 for s in steps), steps
+
     def test_sparse_variant(self, rng, tiny_victim, tmp_path, monkeypatch):
         from flickering_adversarial_video_tpu.runners import universal
         import flickering_adversarial_video_tpu.runners.universal as u
@@ -310,6 +347,74 @@ class TestBuildEngineConfigMapping:
         )
         assert probs.shape == (1, 600)
         assert np.isfinite(np.asarray(probs)).all()
+
+    @pytest.mark.parametrize("num_classes", [359, 487])
+    def test_ig65m_end_to_end(self, rng, tmp_path, num_classes, capsys):
+        """ig65m path e2e, mirroring test_rgb600_end_to_end: a synthetic
+        torch.hub-layout r2plus1d_34 .pth with a 359/487-way head
+        (utils_cv/action_recognition/model.py:402-441) on disk -> the real
+        converter via build_victim -> head width inferred from the checkpoint
+        (not the registry default) -> one fused attack step runs -> the
+        placeholder label names are declared loudly."""
+        pytest.importorskip("torch")
+        from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
+        from flickering_adversarial_video_tpu.convert.fake_assets import (
+            write_torchvision_pth,
+        )
+        from flickering_adversarial_video_tpu.engine import (
+            AttackConfig,
+            AttackEngine,
+            RuntimeFlags,
+        )
+        from flickering_adversarial_video_tpu.runners.common import (
+            build_victim,
+            infer_num_classes,
+            make_victim_packed_fn,
+        )
+        from flickering_adversarial_video_tpu.utils.labels import (
+            load_label_map,
+            warn_if_placeholder,
+        )
+
+        pth = write_torchvision_pth(
+            str(tmp_path / "r2plus1d_34_ig65m.pth"), "r2plus1d_34",
+            num_classes=num_classes,
+        )
+        apply_fn, variables = build_victim(
+            "r2plus1d_34", pth, jnp.float32, FRAMES, SIZE,
+            num_classes=num_classes,
+        )
+        assert infer_num_classes(variables, "r2plus1d_34") == num_classes
+
+        spec = TorchStyleFlickerSpec(frames=FRAMES, max_norm=0.1)
+        engine = AttackEngine(
+            apply_fn,
+            variables,
+            spec,
+            AttackConfig(norm_world="meanstd", reg_weighting="torch"),
+            track_probs=False,
+            apply_packed_fn=make_victim_packed_fn(
+                "r2plus1d_34", variables,
+                infer_num_classes(variables, "r2plus1d_34"), jnp.float32,
+            ),
+        )
+        batch = {
+            "video": jnp.asarray(_clip(rng)[None]),
+            "labels": jnp.asarray([num_classes - 1]),
+        }
+        state, metrics = engine.train_step(
+            engine.init_state(), batch, RuntimeFlags(max_norm=0.1),
+            jax.random.key(0),
+        )
+        assert int(state.step) == 1
+        assert np.isfinite(float(metrics["total_loss"]))
+        probs = engine.forward(state.delta, batch, RuntimeFlags(), jax.random.key(0))
+        assert probs.shape == (1, num_classes)
+
+        labels = load_label_map(None, num_classes=num_classes)
+        assert len(labels) == num_classes
+        assert warn_if_placeholder(labels)
+        assert "placeholder" in capsys.readouterr().out
 
     def test_frame_window_knob(self, tiny_victim):
         from flickering_adversarial_video_tpu.runners.common import build_engine
