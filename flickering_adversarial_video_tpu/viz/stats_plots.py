@@ -39,6 +39,27 @@ def extract_videos(res: dict, amp: float = 5.0):
     return to_uint8(clean), to_uint8(np.clip(delta_vid, -1, 1)), to_uint8(adv)
 
 
+def select_writer(save_path: str) -> tuple:
+    """(writer_name, effective_path) for an animation export target.
+
+    mp4 (any non-gif container) needs matplotlib's ffmpeg writer
+    (reference stats_plots.py:209-219 exports mp4); when no ffmpeg binary is
+    on PATH the export falls back LOUDLY to an animated gif next to the
+    requested path instead of crashing deep inside matplotlib."""
+    from matplotlib import animation
+
+    if save_path.endswith(".gif"):
+        return "pillow", save_path
+    if animation.writers.is_available("ffmpeg"):
+        return "ffmpeg", save_path
+    fallback = save_path.rsplit(".", 1)[0] + ".gif"
+    print(
+        f"[stats_plots] ffmpeg writer unavailable (no ffmpeg on PATH): "
+        f"cannot write {save_path!r}; falling back to {fallback!r} (pillow gif)"
+    )
+    return "pillow", fallback
+
+
 def animate(res: dict, amp: float = 5.0, save: Optional[str] = None, fps: int = 25, show: bool = True):
     import matplotlib
 
@@ -87,10 +108,8 @@ def animate(res: dict, amp: float = 5.0, save: Optional[str] = None, fps: int = 
 
     ani = animation.FuncAnimation(fig, update, frames=T, interval=1000 // fps, blit=False)
     if save:
-        if save.endswith(".gif"):
-            ani.save(save, writer="pillow", fps=fps)
-        else:
-            ani.save(save, fps=fps)
+        writer, save = select_writer(save)
+        ani.save(save, writer=writer, fps=fps)
         plt.close(fig)
         return save
     if show:

@@ -39,6 +39,36 @@ class TestStatsPlots:
         out = animate(res, save=str(tmp_path / "a.gif"), fps=5, show=False)
         assert os.path.exists(out) and os.path.getsize(out) > 0
 
+    def test_select_writer_logic(self):
+        """Writer selection (reference stats_plots.py:209-219 mp4 export):
+        gif -> pillow always; mp4 -> ffmpeg iff available, else a loud gif
+        fallback next to the requested path — never a deep matplotlib crash."""
+        from matplotlib import animation
+
+        from flickering_adversarial_video_tpu.viz.stats_plots import select_writer
+
+        assert select_writer("x.gif") == ("pillow", "x.gif")
+        writer, path = select_writer("out/clip.mp4")
+        if animation.writers.is_available("ffmpeg"):
+            assert (writer, path) == ("ffmpeg", "out/clip.mp4")
+        else:
+            assert (writer, path) == ("pillow", "out/clip.gif")
+
+    def test_animate_mp4_target(self, res, tmp_path, capsys):
+        """--save out.mp4 end-to-end: writes mp4 when ffmpeg exists, else
+        falls back to gif with a message — either way a playable file."""
+        from matplotlib import animation
+
+        from flickering_adversarial_video_tpu.viz.stats_plots import animate
+
+        out = animate(res, save=str(tmp_path / "clip.mp4"), fps=5, show=False)
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+        if animation.writers.is_available("ffmpeg"):
+            assert out.endswith(".mp4")
+        else:
+            assert out.endswith(".gif")
+            assert "falling back" in capsys.readouterr().out
+
 
 class TestAggregate:
     def test_best_epoch_selection(self):
