@@ -123,3 +123,50 @@ def grain_batches(
     )
     for batch in loader:
         yield {"video": batch["video"], "labels": batch["label"]}
+
+
+def grain_stream(
+    shards: Sequence[str],
+    batch_size: int,
+    *,
+    frames: Optional[int] = None,
+    height: int = 224,
+    width: int = 224,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_epochs: Optional[int] = None,
+    worker_count: int = 4,
+    drop_remainder: bool = True,
+):
+    """Persistent high-throughput grain mode: ONE worker spawn for the whole
+    attack, batches streamed across epoch boundaries.
+
+    Worker spawn is the dominant cost of `grain_batches` when a fresh loader
+    is built per epoch: each spawned worker re-imports the package (incl.
+    jax, ~10 s x workers), which measured as ~12 MB/s "throughput" on short
+    epochs (PERF.md round 2).  Amortized over a single multi-epoch loader the
+    same 4 workers sustain hundreds of MB/s steady-state
+    (tests/test_host_pipeline_throughput.py::test_grain_steady_state).
+
+    Semantics note: with worker_count > 0 grain shards the record index
+    across workers and each worker walks its shard through ALL epochs
+    independently, so records from adjacent epochs interleave near epoch
+    boundaries — this is a STREAM (right for the step-driven universal
+    attack), not a strict epoch iterator; use `grain_batches` (one loader
+    per epoch) where exact epoch boundaries matter and throughput doesn't.
+
+    num_epochs=None streams forever (the estimator input_fn's .repeat role,
+    i3d_adversarial_main_universal.py:238-243).
+    """
+    yield from grain_batches(
+        shards,
+        batch_size,
+        frames=frames,
+        height=height,
+        width=width,
+        shuffle=shuffle,
+        seed=seed,
+        num_epochs=num_epochs,
+        worker_count=worker_count,
+        drop_remainder=drop_remainder,
+    )

@@ -107,28 +107,44 @@ class TestHostPipelineThroughput:
         print(f"\npython reader: {mbps:.0f} MB/s over {seen/1e6:.0f} MB")
         assert seen > 0
 
-    def test_grain_workers_meet_budget(self, shard_set):
+    def test_grain_steady_state_meets_budget(self, shard_set):
+        """grain_stream (ONE persistent multi-epoch loader) must sustain
+        >= 200 MB/s at worker_count=4 once worker spawn is amortized
+        (VERDICT round 2 item 6).
+
+        The round-2 ~12 MB/s number measured a fresh DataLoader per epoch:
+        every epoch re-spawned 4 workers that re-import jax (~10 s each),
+        swamping the actual decode throughput.  The production pattern for
+        grain is the persistent stream; spawn cost is paid ONCE per attack.
+        """
         pytest.importorskip("grain")
-        from flickering_adversarial_video_tpu.data.grain_pipeline import grain_batches
+        from flickering_adversarial_video_tpu.data.grain_pipeline import grain_stream
 
         paths, total_bytes = shard_set
-        mbps, seen = _measure(
-            lambda: (
-                {"video": b["video"], "labels": b["labels"]}
-                # drop_remainder=False: grain batches PER WORKER; with
-                # drop_remainder a worker whose shard is smaller than the
-                # batch silently yields nothing (grain_pipeline.py note)
-                for b in grain_batches(
-                    paths, batch_size=8, shuffle=False, worker_count=4,
-                    drop_remainder=False,
-                )
-            )
+        epochs = 3
+        stream = grain_stream(
+            paths, batch_size=8, shuffle=False, worker_count=4,
+            # drop_remainder=False: grain batches PER WORKER; with
+            # drop_remainder a worker whose shard is smaller than the
+            # batch silently yields nothing (grain_pipeline.py note)
+            drop_remainder=False, num_epochs=epochs,
         )
-        print(f"\ngrain worker_count=4: {mbps:.0f} MB/s over {seen/1e6:.0f} MB")
-        # Functional completeness only: every record must arrive.  Measured
-        # honestly (PERF.md round 2), grain's spawn workers re-import the
-        # package (incl. jax) and pickle 9.6 MB records through IPC queues —
-        # ~12 MB/s here.  grain is the random-access/flexibility path; the
-        # throughput path is the native reader (asserted above at >=830 MB/s,
-        # measured 1351 plain / 837 prepacked).
-        assert seen > 0, "grain pipeline yielded nothing"
+        # epoch 1 untimed: worker spawn + package import + page-cache warm
+        seen = 0
+        for b in stream:
+            assert b["video"].dtype == np.uint8
+            seen += b["video"].nbytes
+            if seen >= total_bytes * 0.97:  # framing overhead ~3%
+                break
+        t0 = time.perf_counter()
+        steady = 0
+        for b in stream:
+            steady += b["video"].nbytes
+        dt = time.perf_counter() - t0
+        mbps = steady / dt / 1e6
+        print(f"\ngrain steady-state worker_count=4: {mbps:.0f} MB/s over {steady/1e6:.0f} MB")
+        assert steady > 0, "grain stream ended after one epoch"
+        assert mbps >= 200.0, (
+            f"grain steady-state {mbps:.0f} MB/s < 200 MB/s budget "
+            "(spawn-amortized; see grain_pipeline.grain_stream)"
+        )
