@@ -83,6 +83,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     if not args.out and not args.dump_golden:
         p.error("nothing to do: pass --out and/or --dump-golden")
+    from ..runners.common import apply_platform_env
+
+    apply_platform_env()
     variables = convert(args.model, args.ckpt, eval_type=args.eval_type)
     if args.out:
         save_variables(variables, args.out)

@@ -80,10 +80,28 @@ def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_v
 
 
 def main(argv=None):
+    import argparse
+
     argv = argv if argv is not None else sys.argv[1:]
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?", default=None, help="run_config.yml path")
+    p.add_argument("--frames", type=int, default=90)
+    p.add_argument("--size", type=int, default=None)
+    p.add_argument(
+        "--stop-rule", default="reference", choices=("reference", "early"),
+        help="'early' stops at first fooling (sweep/rehearsal throughput)",
+    )
+    p.add_argument("--max-videos", type=int, default=None)
+    args = p.parse_args(argv)
     enable_compilation_cache()
-    cfg = load_config(argv[0] if argv else None)
-    run(cfg)
+    cfg = load_config(args.config)
+    run(
+        cfg,
+        frames=args.frames,
+        size=args.size,
+        stop_rule=args.stop_rule,
+        max_videos=args.max_videos,
+    )
 
 
 if __name__ == "__main__":
