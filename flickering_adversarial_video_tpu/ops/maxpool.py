@@ -104,23 +104,33 @@ def _route_axis(
 
     # strided windows: for a fixed tap k the target positions {w*s + k} never
     # collide, so accumulate on an axis split as (rows, s): row r, col c <->
-    # position r*s + c
+    # position r*s + c.  Per-column accumulation is pad+add chains (same
+    # DUS-avoidance as the stride-1 branch) and the columns interleave via
+    # ONE stack — no .at[].add, no scatter, no dynamic-update-slice.
     rows = out + -(-w // s)
-    acc_shape = list(source.shape)
-    acc_shape[axis : axis + 1] = [rows, s]
-    acc = jnp.zeros(acc_shape, g.dtype)
-
+    per_col = [None] * s
+    # taps must be visited in ascending k for the first-match rule, so run
+    # the compare pass first, then group contributions by column
+    contribs = []
     for k in range(w):
         cand = lax.slice_in_dim(src_pad, k, k + (out - 1) * s + 1, s, axis=axis)
         eq = (cand == pooled) & ~taken
         taken = taken | eq
-        contrib = g * eq.astype(g.dtype)
-        row0, col = k // s, k % s
-        idx = [slice(None)] * len(acc_shape)
-        idx[axis] = slice(row0, row0 + out)
-        idx[axis + 1] = col
-        acc = acc.at[tuple(idx)].add(contrib)
-
+        contribs.append(g * eq.astype(g.dtype))
+    for c in range(s):
+        col_acc = None
+        for k in range(c, w, s):
+            row0 = k // s
+            pad_cfg = [(0, 0)] * source.ndim
+            pad_cfg[axis] = (row0, rows - out - row0)
+            shifted = jnp.pad(contribs[k], pad_cfg)
+            col_acc = shifted if col_acc is None else col_acc + shifted
+        if col_acc is None:
+            zero_shape = list(source.shape)
+            zero_shape[axis] = rows
+            col_acc = jnp.zeros(zero_shape, g.dtype)
+        per_col[c] = col_acc
+    acc = jnp.stack(per_col, axis=axis + 1)  # [..., rows, s, ...]
     flat_shape = list(source.shape)
     flat_shape[axis] = rows * s
     acc = acc.reshape(flat_shape)
@@ -128,17 +138,23 @@ def _route_axis(
 
 
 def max_pool_same(
-    x: jax.Array, window: Tuple[int, int, int], strides: Tuple[int, int, int]
+    x: jax.Array,
+    window: Tuple[int, int, int],
+    strides: Tuple[int, int, int],
+    force_custom: bool = False,
 ) -> jax.Array:
     """tf.nn.max_pool3d(..., padding='SAME') over NDHWC.
 
     Stride-1 pools (the overlapping 3x3x3 Inception-branch pools, where
     select-and-scatter runs at 28-37 GiB/s) take the custom separable
-    backward; strided pools keep XLA's autodiff — its select-and-scatter is
-    already memory-healthy there (354-586 GiB/s measured in-step) and the
-    routing's strided accumulation was measured slower (PERF.md round 2).
+    backward; strided pools keep XLA's autodiff at batch>1 — its
+    select-and-scatter is memory-healthy there (354-586 GiB/s measured
+    in-step) — but at B=1 the same lowering collapses to 17 GiB/s (PERF.md
+    round 2 single-video profile), so B=1 takes the custom routing too
+    (pad+add+stack accumulation; no DUS, no scatter).  `force_custom`
+    overrides the policy (micro-bench A/B).
     """
-    if all(s == 1 for s in strides):
+    if force_custom or all(s == 1 for s in strides) or x.shape[0] == 1:
         return _max_pool_custom(x, tuple(window), tuple(strides))
     if window[0] == 1 and strides[0] == 1 and x.ndim == 5:
         # spatial-only pool: fold (B, T) so XLA sees a 4-D reduce-window
