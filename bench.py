@@ -39,13 +39,16 @@ WARMUP = 3
 STEPS = 20
 
 
-def build_engine(compute_dtype, packed_stem=True):
+def build_engine(compute_dtype, packed_stem=True, naive_pools=False):
     from flickering_adversarial_video_tpu.attack import FlickerSpec
     from flickering_adversarial_video_tpu.engine import AttackConfig, AttackEngine
     from flickering_adversarial_video_tpu.models.i3d import InceptionI3D, init_i3d_params
 
     model = InceptionI3D(
-        num_classes=400, compute_dtype=compute_dtype, packed_stem=packed_stem
+        num_classes=400,
+        compute_dtype=compute_dtype,
+        packed_stem=packed_stem,
+        naive_pools=naive_pools,
     )
     variables = init_i3d_params(jax.random.key(0), frames=FRAMES, size=SIZE)
     spec = FlickerSpec(frames=FRAMES)
@@ -276,9 +279,15 @@ def main():
     optimized = time_optimized(engine, batch)
 
     # reference protocol replays the f32 multi-fetch session loop on the
-    # naive (unpacked-stem) model — the implementation the reference's own
-    # conv lowering corresponds to
-    _, model_f32, variables_f32 = build_engine(jnp.float32, packed_stem=False)
+    # naive model — unpacked stem AND plain reduce-window/select-and-scatter
+    # pools, the lowering the reference's TF1 graph gets.  Without
+    # naive_pools the baseline silently inherited this framework's custom
+    # pool routing; measured round 3, that routing actually HURT the f32
+    # unpacked baseline (1.751 -> 1.834 steps/s plain), so the fix makes the
+    # denominator honest AND slightly stronger (vs_baseline 6.48 -> 6.17).
+    _, model_f32, variables_f32 = build_engine(
+        jnp.float32, packed_stem=False, naive_pools=True
+    )
     baseline = time_reference_protocol(model_f32, variables_f32, batch)
 
     # Host-prepacked input IS the production default (universal/class-gen

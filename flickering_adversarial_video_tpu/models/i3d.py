@@ -23,6 +23,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -99,6 +100,23 @@ class _StemKernel(nn.Module):
         return self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
 
 
+def _apply_stem_conv(packed: jax.Array, pk: jax.Array) -> jax.Array:
+    """Packed 4-tap stem conv: forward/backward implementations are chosen
+    independently (both exact; see ops/space_to_depth.py).
+
+    Default: temporally-unrolled 2-D convs fwd+bwd (autodiff).  A hand-packed
+    transposed-conv backward exists (packed_stem_conv, exact-parity tested)
+    but measured SLOWER end to end (153 vs 127 ms/step at T=64 B=8): the
+    gradient's pack/unpack transposes cost more HBM traffic than the wider
+    MXU lanes save.  FLICKER_STEM_ONEPASS=1 selects the single-input-pass
+    3-D forward with the unrolled backward (stem_conv_onepass) for A/B."""
+    from ..ops.space_to_depth import _stem_fwd_impl, stem_conv_onepass
+
+    if os.environ.get("FLICKER_STEM_ONEPASS", "") == "1":
+        return stem_conv_onepass(packed, pk)
+    return _stem_fwd_impl(packed, pk)
+
+
 class PackedStemUnit3D(nn.Module):
     """The Conv3d_1a_7x7 stem executed via space-to-depth.
 
@@ -132,9 +150,7 @@ class PackedStemUnit3D(nn.Module):
             )()
             packed = x.astype(self.compute_dtype)
             pk = _pack_stem_kernel(kernel).astype(self.compute_dtype)
-            from ..ops.space_to_depth import _stem_fwd_impl
-
-            y = _stem_fwd_impl(packed, pk)
+            y = _apply_stem_conv(packed, pk)
             y = nn.BatchNorm(
                 use_running_average=True,
                 use_scale=False,
@@ -189,15 +205,7 @@ class PackedStemUnit3D(nn.Module):
 
             y = depth_to_space_hw(y, 2)
         else:
-            # Temporally-unrolled 2D convs (autodiff backward).  A hand-packed
-            # transposed-conv backward exists (ops/space_to_depth.py
-            # packed_stem_conv, exact-parity tested) but measured SLOWER end
-            # to end (153 vs 127 ms/step at T=64 B=8): the gradient's
-            # pack/unpack transposes cost more HBM traffic than the wider
-            # MXU lanes save.  XLA's own transposed conv stays the default.
-            from ..ops.space_to_depth import _stem_fwd_impl
-
-            y = _stem_fwd_impl(packed, pk)
+            y = _apply_stem_conv(packed, pk)
         y = nn.BatchNorm(
             use_running_average=True,
             use_scale=False,
@@ -252,7 +260,8 @@ class Unit3D(nn.Module):
 
 
 def _max_pool_same(
-    x: jax.Array, window: Sequence[int], strides: Sequence[int]
+    x: jax.Array, window: Sequence[int], strides: Sequence[int],
+    naive: bool = False,
 ) -> jax.Array:
     """tf.nn.max_pool3d(..., padding='SAME') equivalent over NDHWC.
 
@@ -260,7 +269,18 @@ def _max_pool_same(
     but the backward replaces XLA's select-and-scatter (28-37 GiB/s on the
     overlapping stride-1 Inception-branch pools, ~27 ms of the round-1 attack
     step) with a scatter-free separable routing that reproduces the same
-    first-match tie rule (tests/test_maxpool.py asserts routing equality)."""
+    first-match tie rule (tests/test_maxpool.py asserts routing equality).
+
+    naive=True keeps XLA's plain reduce-window + select-and-scatter autodiff
+    on every pool — the lowering the reference's TF1 graph gets, used by the
+    bench's reference-protocol baseline so the denominator does not silently
+    inherit this framework's pool optimizations."""
+    if naive:
+        from jax import lax
+
+        return lax.reduce_window(
+            x, -jnp.inf, lax.max, (1, *window, 1), (1, *strides, 1), "SAME"
+        )
     from ..ops.maxpool import max_pool_same
 
     return max_pool_same(x, tuple(window), tuple(strides))
@@ -273,6 +293,7 @@ class InceptionMixed(nn.Module):
     channels: Tuple[int, int, int, int, int, int]
     branch2_second_name: str = "Conv3d_0b_3x3"
     compute_dtype: Any = jnp.float32
+    naive_pools: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -285,7 +306,7 @@ class InceptionMixed(nn.Module):
         b2 = Unit3D(
             c2b, (3, 3, 3), compute_dtype=dt, name=f"Branch_2/{self.branch2_second_name}"
         )(b2)
-        b3 = _max_pool_same(x, (3, 3, 3), (1, 1, 1))
+        b3 = _max_pool_same(x, (3, 3, 3), (1, 1, 1), naive=self.naive_pools)
         b3 = Unit3D(c3, (1, 1, 1), compute_dtype=dt, name="Branch_3/Conv3d_0b_1x1")(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=4)
 
@@ -310,6 +331,9 @@ class InceptionI3D(nn.Module):
     # ([B,T/2,H/2,W/2,24]); parameters are identical to the unpacked model,
     # so one variables dict serves both (ops/packed_apply.py path).
     prepacked_stem_input: bool = False
+    # plain XLA reduce-window + select-and-scatter on every pool (the TF1
+    # graph's lowering) — the bench baseline's honest configuration
+    naive_pools: bool = False
 
     @nn.compact
     def __call__(
@@ -337,7 +361,7 @@ class InceptionI3D(nn.Module):
             )(x)
         if done("Conv3d_1a_7x7"):
             return x, end_points
-        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2), naive=self.naive_pools)
         if done("MaxPool3d_2a_3x3"):
             return x, end_points
         x = Unit3D(64, (1, 1, 1), compute_dtype=dt, name="Conv3d_2b_1x1")(x)
@@ -346,7 +370,7 @@ class InceptionI3D(nn.Module):
         x = Unit3D(192, (3, 3, 3), compute_dtype=dt, name="Conv3d_2c_3x3")(x)
         if done("Conv3d_2c_3x3"):
             return x, end_points
-        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2), naive=self.naive_pools)
         if done("MaxPool3d_3a_3x3"):
             return x, end_points
 
@@ -355,12 +379,13 @@ class InceptionI3D(nn.Module):
                 _MIXED_CHANNELS[name],
                 branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
                 compute_dtype=dt,
+                naive_pools=self.naive_pools,
                 name=name,
             )(x)
             if done(name):
                 return x, end_points
 
-        x = _max_pool_same(x, (3, 3, 3), (2, 2, 2))
+        x = _max_pool_same(x, (3, 3, 3), (2, 2, 2), naive=self.naive_pools)
         if done("MaxPool3d_4a_3x3"):
             return x, end_points
 
@@ -369,12 +394,13 @@ class InceptionI3D(nn.Module):
                 _MIXED_CHANNELS[name],
                 branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
                 compute_dtype=dt,
+                naive_pools=self.naive_pools,
                 name=name,
             )(x)
             if done(name):
                 return x, end_points
 
-        x = _max_pool_same(x, (2, 2, 2), (2, 2, 2))
+        x = _max_pool_same(x, (2, 2, 2), (2, 2, 2), naive=self.naive_pools)
         if done("MaxPool3d_5a_2x2"):
             return x, end_points
 
@@ -383,6 +409,7 @@ class InceptionI3D(nn.Module):
                 _MIXED_CHANNELS[name],
                 branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
                 compute_dtype=dt,
+                naive_pools=self.naive_pools,
                 name=name,
             )(x)
             if done(name):

@@ -51,11 +51,87 @@ def _pool_axis(x: jax.Array, axis: int, w: int, s: int) -> jax.Array:
     """1-D SAME max pool along `axis` of an NDHWC array."""
     if w == 1 and s == 1:
         return x
+    if _parity_eligible(x.shape[axis], w, s):
+        return _pool_axis_parity(x, axis, w)
     window = [1] * x.ndim
     strides = [1] * x.ndim
     window[axis] = w
     strides[axis] = s
     return lax.reduce_window(x, -jnp.inf, lax.max, window, strides, "SAME")
+
+
+def _parity_eligible(n: int, w: int, s: int) -> bool:
+    """Axis pools expressible on a free (cell, parity) split of the axis.
+
+    SAME with s=2 and even n gives pad_lo=0, so output o reads positions
+    2o..2o+w-1: for w=3 that is cells (o,0),(o,1),(o+1,0); for w=2 just
+    (o,0),(o,1).  Both become elementwise max over parity slices — no
+    reduce_window (measured 76 GiB/s on the MaxPool2a geometry) and no
+    select-and-scatter in the backward (17-37 GiB/s on B=1/overlap shapes)."""
+    return s == 2 and w in (2, 3) and n % 2 == 0
+
+
+def _parity_split(x: jax.Array, axis: int):
+    """(a, b): even/odd elements along `axis` via a free (n/2, 2) reshape."""
+    n = x.shape[axis]
+    shape = list(x.shape)
+    shape[axis : axis + 1] = [n // 2, 2]
+    xr = x.reshape(shape)
+    a = lax.index_in_dim(xr, 0, axis + 1, keepdims=False)
+    b = lax.index_in_dim(xr, 1, axis + 1, keepdims=False)
+    return a, b
+
+
+def _shift_down(x: jax.Array, axis: int, fill) -> jax.Array:
+    """x[i] <- x[i+1], last element <- fill (one slice + one pad, fusible)."""
+    n = x.shape[axis]
+    sl = lax.slice_in_dim(x, 1, n, 1, axis=axis)
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (0, 1)
+    return jnp.pad(sl, pad_cfg, constant_values=fill)
+
+
+def _shift_up(x: jax.Array, axis: int, fill) -> jax.Array:
+    """x[i] <- x[i-1], first element <- fill."""
+    n = x.shape[axis]
+    sl = lax.slice_in_dim(x, 0, n - 1, 1, axis=axis)
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (1, 0)
+    return jnp.pad(sl, pad_cfg, constant_values=fill)
+
+
+def _pool_axis_parity(x: jax.Array, axis: int, w: int) -> jax.Array:
+    """1-D SAME max pool, w in (2,3), s=2, even extent — parity-split form."""
+    a, b = _parity_split(x, axis)
+    y = lax.max(a, b)
+    if w == 3:
+        neg = jnp.asarray(-jnp.inf, x.dtype)
+        y = lax.max(y, _shift_down(a, axis, neg))
+    return y
+
+
+def _route_axis_parity(
+    g: jax.Array, pooled: jax.Array, source: jax.Array, axis: int, w: int
+) -> jax.Array:
+    """First-match routing for the parity pools, entirely in parity space.
+
+    Window order along the axis is ascending position (2o, 2o+1, 2o+2), so
+    first-match masks go a -> b -> a_next; the two parity gradients then
+    interleave via ONE stack + free reshape.  Equals XLA's select-and-scatter
+    GE tie rule (asserted in tests/test_maxpool.py)."""
+    a, b = _parity_split(source, axis)
+    e_a = a == pooled
+    e_b = (b == pooled) & ~e_a
+    dx_a = g * e_a.astype(g.dtype)
+    dx_b = g * e_b.astype(g.dtype)
+    if w == 3:
+        neg = jnp.asarray(-jnp.inf, source.dtype)
+        a_next = _shift_down(a, axis, neg)
+        e_n = (a_next == pooled) & ~(e_a | e_b)
+        # contribution lands one cell later on the even parity
+        dx_a = dx_a + _shift_up(g * e_n.astype(g.dtype), axis, 0)
+    dx = jnp.stack([dx_a, dx_b], axis=axis + 1)
+    return dx.reshape(source.shape)
 
 
 def _route_axis(
@@ -75,6 +151,8 @@ def _route_axis(
     if w == 1 and s == 1:
         return g
     n = source.shape[axis]
+    if _parity_eligible(n, w, s):
+        return _route_axis_parity(g, pooled, source, axis, w)
     out, pad_lo, pad_hi = _same_pads(n, w, s)
     # pad so every tap's strided slice is in range
     lo_pad_cfg = [(0, 0)] * source.ndim
@@ -146,15 +224,23 @@ def max_pool_same(
     """tf.nn.max_pool3d(..., padding='SAME') over NDHWC.
 
     Stride-1 pools (the overlapping 3x3x3 Inception-branch pools, where
-    select-and-scatter runs at 28-37 GiB/s) take the custom separable
-    backward; strided pools keep XLA's autodiff at batch>1 — its
-    select-and-scatter is memory-healthy there (354-586 GiB/s measured
-    in-step) — but at B=1 the same lowering collapses to 17 GiB/s (PERF.md
-    round 2 single-video profile), so B=1 takes the custom routing too
-    (pad+add+stack accumulation; no DUS, no scatter).  `force_custom`
-    overrides the policy (micro-bench A/B).
+    XLA's select-and-scatter runs at 28-37 GiB/s) take the custom separable
+    backward; strided pools keep XLA's autodiff at EVERY batch size — its
+    select-and-scatter is memory-healthy at batch>1 (354-586 GiB/s measured
+    in-step), and although it collapses to 17 GiB/s at B=1 (PERF.md round 2
+    single-video profile), both measured replacements lost end to end
+    (round 3, T=64 B=8 headline / T=90 B=1 single-video):
+      * generic strided routing (pad+add+stack): 24.1 -> 23.4 steps/s B=1;
+      * parity-split forward+routing (free (cell,parity) reshapes,
+        elementwise max / mask-route): 11.33 -> 7.47 steps/s headline,
+        HBM bytes/step 48 -> 87 GB — the parity slices sit next to the
+        64-channel minor dim (half a lane tile) and XLA materializes
+        layout-hostile interleave copies, the same trap as the round-2
+        "free-reshape W-split" negative result.
+    Both implementations stay (exact-parity tested, incl. ties) behind
+    `force_custom` for future A/B on other geometries/toolchains.
     """
-    if force_custom or all(s == 1 for s in strides) or x.shape[0] == 1:
+    if force_custom or all(s == 1 for s in strides):
         return _max_pool_custom(x, tuple(window), tuple(strides))
     if window[0] == 1 and strides[0] == 1 and x.ndim == 5:
         # spatial-only pool: fold (B, T) so XLA sees a 4-D reduce-window
@@ -179,10 +265,32 @@ def max_pool_same(
     return _pool3d(x, tuple(window), tuple(strides))
 
 
+def _fully_parity(x, window, strides) -> bool:
+    return all(
+        w == 1 or _parity_eligible(x.shape[i + 1], w, s)
+        for i, (w, s) in enumerate(zip(window, strides))
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _max_pool_custom(
     x: jax.Array, window: Tuple[int, int, int], strides: Tuple[int, int, int]
 ) -> jax.Array:
+    return _custom_fwd_impl(x, window, strides)
+
+
+def _custom_fwd_impl(x, window, strides):
+    # Fully parity-eligible strided pools take the separable parity forward
+    # (elementwise max over free parity splits; max is separable in any axis
+    # order) — reduce_window measured 76 GiB/s on the MaxPool2a geometry.
+    # Safe ONLY under this custom VJP: autodiff of the elementwise form would
+    # route ties by lax.max's rule, not the reference's first-match.
+    if _fully_parity(x, window, strides):
+        y = x
+        for i, (w, s) in enumerate(zip(window, strides)):
+            if w > 1:
+                y = _pool_axis(y, i + 1, w, s)
+        return y
     return _pool3d(x, window, strides)
 
 
@@ -197,7 +305,7 @@ def _pool3d(x, window, strides):
 
 
 def _fwd(x, window, strides):
-    return _pool3d(x, window, strides), x
+    return _custom_fwd_impl(x, window, strides), x
 
 
 def _bwd(window, strides, x, dy):

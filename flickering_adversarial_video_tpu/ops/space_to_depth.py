@@ -262,6 +262,50 @@ def _stem_fwd_impl(xp: jax.Array, pk: jax.Array) -> jax.Array:
     return y.reshape(b, tt, hh, ww, cout)
 
 
+def _stem_fwd_3d(xp: jax.Array, pk: jax.Array) -> jax.Array:
+    """The packed stem as ONE 3-D conv — a single pass over the input.
+
+    The 4-tap temporal unroll (_stem_fwd_impl) reads xpad four times and
+    materializes four partial outputs before the add fusion; the 3-D form
+    reads xp once.  Kept behind a custom VJP (stem_conv_onepass) because
+    XLA's 3-D *backward* lowering measured slower than the unrolled 2-D
+    transposed convs (PERF.md round 1 v2) — fwd and bwd are chosen
+    independently."""
+    return jax.lax.conv_general_dilated(
+        xp,
+        pk,
+        window_strides=(1, 1, 1),
+        padding=[(1, 2), (1, 2), (1, 2)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=xp.dtype,
+    )
+
+
+@jax.custom_vjp
+def stem_conv_onepass(xp: jax.Array, pk: jax.Array) -> jax.Array:
+    """Packed stem: 3-D single-input-pass forward, unrolled-2-D backward.
+
+    Kernel cotangent is ZERO (frozen victim; the attack differentiates wrt
+    delta only) — do not reuse where weight gradients are needed."""
+    return _stem_fwd_3d(xp, pk)
+
+
+def _onepass_fwd(xp, pk):
+    return _stem_fwd_3d(xp, pk), (xp, pk)
+
+
+def _onepass_bwd(res, g):
+    xp, pk = res
+    # input gradient via the unrolled 2-D formulation's OWN autodiff — the
+    # backward that measured fastest (PERF.md round 1 v2 / round 2 notes)
+    _, pullback = jax.vjp(lambda x: _stem_fwd_impl(x, pk), xp)
+    (dxp,) = pullback(g)
+    return dxp, jnp.zeros_like(pk)
+
+
+stem_conv_onepass.defvjp(_onepass_fwd, _onepass_bwd)
+
+
 @jax.custom_vjp
 def packed_stem_conv(xp: jax.Array, pk: jax.Array) -> jax.Array:
     """Packed stem conv with a hand-packed transposed-conv backward.

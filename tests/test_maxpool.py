@@ -92,6 +92,24 @@ class TestMaxPoolSame:
             np.testing.assert_array_equal(g1 != 0, g2 != 0)
             np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("window,strides", GEOMETRIES)
+    @pytest.mark.parametrize("batch", [1, 2])
+    def test_even_extents_parity_path_with_ties(self, rng, window, strides, batch):
+        """Even extents route strided pools through the parity-split custom
+        path (production I3D geometry: 112/56/28/14 spatial, 32/16 temporal).
+        Forward must equal reduce-window exactly and the backward must match
+        XLA's select-and-scatter first-match tie rule on heavily tied data."""
+        x = jnp.asarray(
+            (rng.integers(0, 3, (batch, 8, 8, 8, 4)) * 0.5).astype(np.float32)
+        )
+        got_y = max_pool_same(x, window, strides)
+        ref_y = _xla_pool(x, window, strides)
+        np.testing.assert_array_equal(np.asarray(got_y), np.asarray(ref_y))
+        got = np.asarray(_grads(max_pool_same, x, window, strides))
+        ref = np.asarray(_grads(_xla_pool, x, window, strides))
+        np.testing.assert_array_equal(got != 0, ref != 0)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
     def test_gradcheck_sum(self, rng):
         # every window's dy must be routed exactly once: sum(dx) == sum(dy)
         x = jnp.asarray(

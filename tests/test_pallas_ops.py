@@ -118,3 +118,61 @@ class TestPackedStemCustomBwd:
         np.testing.assert_array_equal(
             np.asarray(packed_stem_conv(xp, pk)), np.asarray(_stem_fwd_impl(xp, pk))
         )
+
+
+class TestStemConvOnepass:
+    """stem_conv_onepass: 3-D single-pass forward must equal the unrolled
+    forward to float tolerance (different contraction order), its input grad
+    must equal the unrolled autodiff exactly (same backward program)."""
+
+    def _inputs(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            pack_conv_spatiotemporal,
+            pack_input,
+        )
+
+        x = rng.normal(size=(2, 8, 16, 24, 3)).astype(np.float32)
+        w = (rng.normal(size=(7, 7, 7, 3, 5)) * 0.1).astype(np.float32)
+        xp = pack_input(jnp.asarray(x), axes=(1, 2, 3))
+        pk, _ = pack_conv_spatiotemporal(jnp.asarray(w), (2, 2, 2))
+        return xp, pk
+
+    def test_forward_close(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_fwd_impl,
+            stem_conv_onepass,
+        )
+
+        xp, pk = self._inputs(rng)
+        got = np.asarray(stem_conv_onepass(xp, pk))
+        ref = np.asarray(_stem_fwd_impl(xp, pk))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got / scale, ref / scale, atol=1e-6)
+
+    def test_grad_equals_unrolled_autodiff(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_fwd_impl,
+            stem_conv_onepass,
+        )
+
+        xp, pk = self._inputs(rng)
+        g = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 5)).astype(np.float32))
+        d_one = jax.grad(lambda q: jnp.sum(stem_conv_onepass(q, pk) * g))(xp)
+        d_auto = jax.grad(lambda q: jnp.sum(_stem_fwd_impl(q, pk) * g))(xp)
+        np.testing.assert_array_equal(np.asarray(d_one), np.asarray(d_auto))
+
+    def test_engine_env_toggle(self, rng, monkeypatch):
+        """FLICKER_STEM_ONEPASS=1 swaps the stem forward inside the model;
+        logits must stay equal to the default path to float tolerance."""
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+
+        variables = init_i3d_params(jax.random.key(0), num_classes=7, frames=8, size=16)
+        model = InceptionI3D(num_classes=7, compute_dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 8, 16, 16, 3)).astype(np.float32))
+        base = np.asarray(model.apply(variables, x)[0])
+        monkeypatch.setenv("FLICKER_STEM_ONEPASS", "1")
+        one = np.asarray(model.apply(variables, x)[0])
+        np.testing.assert_allclose(one, base, atol=1e-5)
