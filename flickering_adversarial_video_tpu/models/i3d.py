@@ -102,19 +102,36 @@ class _StemKernel(nn.Module):
 
 def _apply_stem_conv(packed: jax.Array, pk: jax.Array) -> jax.Array:
     """Packed 4-tap stem conv: forward/backward implementations are chosen
-    independently (both exact; see ops/space_to_depth.py).
+    independently (all exact; see ops/space_to_depth.py).
 
-    Default: temporally-unrolled 2-D convs fwd+bwd (autodiff).  A hand-packed
-    transposed-conv backward exists (packed_stem_conv, exact-parity tested)
-    but measured SLOWER end to end (153 vs 127 ms/step at T=64 B=8): the
-    gradient's pack/unpack transposes cost more HBM traffic than the wider
-    MXU lanes save.  FLICKER_STEM_ONEPASS=1 selects the single-input-pass
-    3-D forward with the unrolled backward (stem_conv_onepass) for A/B."""
-    from ..ops.space_to_depth import _stem_fwd_impl, stem_conv_onepass
+    Default: unrolled 2-D forward + concat-kernel backward (stem_conv_catbwd
+    — one wide transposed conv + fusible shift-add; 11.31 -> 11.52 steps/s,
+    round 3).  Measured alternatives, all env-gated for A/B:
+      FLICKER_STEM_AUTODIFF=1  unrolled fwd+bwd autodiff (round-2 default)
+      FLICKER_STEM_ONEPASS=1   3-D single-pass fwd (10.01 steps/s, negative)
+      FLICKER_STEM_BWD3D=1     3-D fused bwd (7.51 steps/s, strongly negative
+                               — XLA's 3-D conv lowering)
+    A hand-packed transposed-conv backward also exists (packed_stem_conv,
+    exact-parity tested) but measured slower end to end (153 vs 127 ms/step,
+    round 1): the gradient's pack/unpack transposes cost more HBM traffic
+    than the wider MXU lanes save."""
+    from ..ops.space_to_depth import (
+        _stem_fwd_impl,
+        stem_conv_catbwd,
+        stem_conv_fused_bwd,
+        stem_conv_onepass,
+    )
 
     if os.environ.get("FLICKER_STEM_ONEPASS", "") == "1":
         return stem_conv_onepass(packed, pk)
-    return _stem_fwd_impl(packed, pk)
+    if os.environ.get("FLICKER_STEM_BWD3D", "") == "1":
+        return stem_conv_fused_bwd(packed, pk)
+    if os.environ.get("FLICKER_STEM_AUTODIFF", "") == "1":
+        return _stem_fwd_impl(packed, pk)
+    # default: concat-kernel backward — one wide transposed conv (96/128
+    # lanes, single read of g) + fusible temporal shift-add; measured
+    # 11.31 -> 11.52 steps/s, bytes 48.0 -> 46.9 GB (round 3)
+    return stem_conv_catbwd(packed, pk)
 
 
 class PackedStemUnit3D(nn.Module):
@@ -232,16 +249,31 @@ class Unit3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Conv(
-            features=self.output_channels,
-            kernel_size=tuple(self.kernel_shape),
-            strides=tuple(self.stride),
-            padding="SAME",
-            use_bias=self.use_bias,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-            name="conv_3d",
-        )(x)
+        from ..ops.conv_wpack import conv3x3s1_wpack, wpack_eligible
+
+        if (
+            os.environ.get("FLICKER_CONV2C_WPACK", "") == "1"
+            and not self.use_bias
+            and wpack_eligible(x.shape, self.kernel_shape, self.stride)
+        ):
+            # identical forward conv, W-packed full-lane backward-input
+            # (ops/conv_wpack.py); parameter path matches nn.Conv's.
+            kernel = _StemKernel(
+                (*self.kernel_shape, x.shape[-1], self.output_channels),
+                name="conv_3d",
+            )()
+            x = conv3x3s1_wpack(x, kernel.astype(self.compute_dtype))
+        else:
+            x = nn.Conv(
+                features=self.output_channels,
+                kernel_size=tuple(self.kernel_shape),
+                strides=tuple(self.stride),
+                padding="SAME",
+                use_bias=self.use_bias,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                name="conv_3d",
+            )(x)
         if self.use_batch_norm:
             # Frozen inference BN: offset (beta) only, sonnet v1 eps.
             x = nn.BatchNorm(

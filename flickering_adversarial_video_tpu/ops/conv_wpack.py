@@ -1,0 +1,115 @@
+"""W-packed backward for stride-1 3x3x3 convs with half-lane input channels.
+
+Motivation (xplane, PERF.md round 3): the attack step's backward-input conv
+for Conv3d_2c_3x3 (gradient [B,T,56,56,192] -> input grad [B,T,56,56,64])
+runs at ~70 TF/s because its OUTPUT has only 64 channels — half the MXU's
+128 lanes.  Packing the W axis by 2 into channels on both sides makes the
+same contraction run with 2*192=384 input and 2*64=128 output channels
+(full lanes), at identical FLOPs.
+
+Derivation (W axis; T and H are ordinary flipped transposed-conv axes):
+forward y[w] = sum_a k[a] x[w+a-1] (SAME, k=3, s=1, pads (1,1)); backward
+dx[v] = sum_a k^T[a] g[v+1-a].  Pack v=2u+s and the gradient index 2d+q:
+2d+q = 2u+s+1-a is solvable iff s+1-a-q is even, with cell offset
+n = (s+1-a-q)/2 in {-1,0,1} — a 3-tap conv over the W-packed gradient whose
+kernel blocks are
+
+    (s=0,q=0): a=1 -> n=0        (s=0,q=1): a=0 -> n=0,  a=2 -> n=-1
+    (s=1,q=1): a=1 -> n=0        (s=1,q=0): a=0 -> n=+1, a=2 -> n=0
+
+Kernel cotangent is ZERO (frozen victim; the attack differentiates wrt
+delta only) — do not reuse where weight gradients are needed.
+
+Exactness: tests/test_pallas_ops.py::TestConvWpack (forward identical HLO,
+backward equal to XLA autodiff to float tolerance).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .space_to_depth import pack_input
+
+
+def _fwd_conv(x: jax.Array, k: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+def build_wpack_bwd_kernel(k: jax.Array) -> jax.Array:
+    """[3,3,3,Cin,Cout] -> [3,3,3,2*Cout,2*Cin] transposed-conv kernel over
+    the W-packed gradient ((q,Cout) in, (s,Cin) out, pads (1,1) each axis)."""
+    cin, cout = k.shape[-2], k.shape[-1]
+    kt = jnp.flip(k, axis=(0, 1)).swapaxes(-1, -2)  # [3,3,3,Cout,Cin], T/H flipped
+    pw = jnp.zeros((3, 3, 3, 2 * cout, 2 * cin), k.dtype)
+    # T/H kernel index j reads g at offset j-1 already handled by flip; the
+    # W-packed taps come from the (s,q,a,n) table in the module docstring.
+    for s, q, a, n in (
+        (0, 0, 1, 0),
+        (0, 1, 0, 0),
+        (0, 1, 2, -1),
+        (1, 1, 1, 0),
+        (1, 0, 0, 1),
+        (1, 0, 2, 0),
+    ):
+        # kt W axis must also map a -> conv index 2-a'... the a here indexes
+        # the ORIGINAL kernel W tap; kt flipped only T/H, so take kt[:, :, a].
+        pw = pw.at[
+            :, :, n + 1, q * cout : (q + 1) * cout, s * cin : (s + 1) * cin
+        ].add(kt[:, :, a])
+    return pw
+
+
+@jax.custom_vjp
+def conv3x3s1_wpack(x: jax.Array, k: jax.Array) -> jax.Array:
+    """SAME stride-1 3x3x3 conv, forward identical to nn.Conv; backward-input
+    computed as a W-packed transposed conv (full MXU lanes)."""
+    return _fwd_conv(x, k)
+
+
+def _wpack_fwd(x, k):
+    return _fwd_conv(x, k), (x.shape, k)
+
+
+def _wpack_bwd(res, g):
+    shape, k = res
+    b, t, h, w, cin = shape
+    g = g.astype(k.dtype)
+    gp = pack_input(g, axes=(3,))  # [B,T,H,W/2,2*Cout], (q, Cout) order
+    pw = build_wpack_bwd_kernel(k)
+    dxp = jax.lax.conv_general_dilated(
+        gp,
+        pw,
+        window_strides=(1, 1, 1),
+        padding=[(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=k.dtype,
+    )  # [B,T,H,W/2,2*Cin], (s, Cin) order
+    dx = dxp.reshape(b, t, h, w // 2, 2, cin).reshape(b, t, h, w, cin)
+    return dx, jnp.zeros_like(k)
+
+
+conv3x3s1_wpack.defvjp(_wpack_fwd, _wpack_bwd)
+
+
+def wpack_eligible(x_shape, kernel_shape, stride) -> bool:
+    """Gate: stride-1 3x3x3, even W, exactly half-lane input channels.
+
+    ==64 targets Conv3d_2c_3x3 (the measured 70 TF/s bwd-input, 7.3 ms);
+    the <64 Mixed Branch_2 convs stay on autodiff — their packed backward
+    would still be under-laned and they are far smaller."""
+    return (
+        tuple(kernel_shape) == (3, 3, 3)
+        and tuple(stride) == (1, 1, 1)
+        and len(x_shape) == 5
+        and x_shape[3] % 2 == 0
+        and x_shape[-1] == 64
+    )

@@ -18,6 +18,7 @@ packed kernel has ceil((K + pad_lo%2)/2) taps and the packed conv pads
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -307,6 +308,100 @@ stem_conv_onepass.defvjp(_onepass_fwd, _onepass_bwd)
 
 
 @jax.custom_vjp
+def stem_conv_fused_bwd(xp: jax.Array, pk: jax.Array) -> jax.Array:
+    """Packed stem: unrolled 2-D forward, ONE 3-D transposed-conv backward.
+
+    XLA autodiff of the 4-tap unroll emits four 2-D transposed convs that
+    each re-read the full upstream gradient (xplane round 3: fusion.824-827,
+    4x411 MB, 5.9 ms/step at T=64 B=8); algebraically they are one stride-1
+    3-D conv of g with the fully-flipped kernel:
+
+        dx[v,r,s] = sum_{j,c,d} pk[3-j,3-c,3-d]^T g[v+j-2, r+c-2, s+d-2]
+
+    i.e. conv3d(g, flip(pk)^T, pads (2,1) each axis) — one pass over g, no
+    packing relayouts.  Kernel cotangent is ZERO (frozen victim)."""
+    return _stem_fwd_impl(xp, pk)
+
+
+def _fused_bwd_fwd(xp, pk):
+    return _stem_fwd_impl(xp, pk), (xp.shape, pk)
+
+
+def _fused_bwd_bwd(res, g):
+    shape, pk = res
+    g = g.astype(pk.dtype)
+    kflip = jnp.flip(pk, axis=(0, 1, 2)).swapaxes(-1, -2)  # [4,4,4,Cout,Cin]
+    dxp = jax.lax.conv_general_dilated(
+        g,
+        kflip,
+        window_strides=(1, 1, 1),
+        padding=[(2, 1), (2, 1), (2, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=pk.dtype,
+    )
+    return dxp, jnp.zeros_like(pk)
+
+
+stem_conv_fused_bwd.defvjp(_fused_bwd_fwd, _fused_bwd_bwd)
+
+
+@jax.custom_vjp
+def stem_conv_catbwd(xp: jax.Array, pk: jax.Array) -> jax.Array:
+    """Packed stem: unrolled 2-D forward, backward as ONE wide 2-D conv.
+
+    XLA autodiff emits four transposed convs [B*T,H,W,Cout]->[...,Cin] with
+    Cin=24 output channels (24/128 MXU lanes) that each re-read the full
+    upstream gradient.  Concatenating the four spatially-flipped tap kernels
+    along OUTPUT channels gives one conv g -> [B*T,H,W,4*Cin] (96/128 lanes,
+    one read of g); the per-tap partials then combine by temporal shift+add,
+    a pure elementwise chain that fuses into the consumer:
+
+        dx[v] = sum_m  part[v + 1 - m, ..., m-th Cin block]
+
+    Kernel cotangent is ZERO (frozen victim)."""
+    return _stem_fwd_impl(xp, pk)
+
+
+def _catbwd_fwd(xp, pk):
+    return _stem_fwd_impl(xp, pk), (xp.shape, pk)
+
+
+def _catbwd_bwd(res, g):
+    shape, pk = res
+    b, tt, hh, ww, cin = shape
+    g = g.astype(pk.dtype)
+    cout = pk.shape[-1]
+    # [4,4,4,Cin,Cout] -> per-tap spatially-flipped transpose [4,4,Cout,Cin],
+    # concatenated on output channels -> [4,4,Cout,4*Cin]
+    kflip = jnp.flip(pk, axis=(1, 2)).swapaxes(-1, -2)  # [4(m),4,4,Cout,Cin]
+    kcat = jnp.concatenate([kflip[m] for m in range(4)], axis=-1)
+    part = jax.lax.conv_general_dilated(
+        g.reshape(b * tt, hh, ww, cout),
+        kcat,
+        window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pk.dtype,
+    ).reshape(b, tt, hh, ww, 4 * cin)
+    # temporal combine: dx[v] = sum_m part[v + 1 - m][tap m block]
+    acc = None
+    for m in range(4):
+        blk = jax.lax.slice_in_dim(part, m * cin, (m + 1) * cin, 1, axis=4)
+        shift = 1 - m  # source index v + 1 - m
+        if shift >= 0:
+            sl = jax.lax.slice_in_dim(blk, shift, tt, 1, axis=1)
+            sl = jnp.pad(sl, ((0, 0), (0, shift), (0, 0), (0, 0), (0, 0)))
+        else:
+            sl = jax.lax.slice_in_dim(blk, 0, tt + shift, 1, axis=1)
+            sl = jnp.pad(sl, ((0, 0), (-shift, 0), (0, 0), (0, 0), (0, 0)))
+        acc = sl if acc is None else acc + sl
+    return acc, jnp.zeros_like(pk)
+
+
+stem_conv_catbwd.defvjp(_catbwd_fwd, _catbwd_bwd)
+
+
+@jax.custom_vjp
 def packed_stem_conv(xp: jax.Array, pk: jax.Array) -> jax.Array:
     """Packed stem conv with a hand-packed transposed-conv backward.
 
@@ -332,6 +427,25 @@ def _packed_stem_bwd(res, g):
     cout = pk.shape[-1]
     g = g.astype(pk.dtype)
     gp = pack_input(g, axes=(2, 3))  # [B, T', H'/2, W'/2, 4*Cout]
+    if os.environ.get("FLICKER_STEM_BWD3D", "") == "1":
+        # All 4 temporal taps as ONE stride-1 3-D conv: the unrolled loop
+        # re-reads overlapping slices of the same gradient 4x (xplane:
+        # fusion.824-827, 4x411 MB reads, 5.9 ms); the 3-D form reads gp
+        # once.  Tap m reads gp[u + 1 - m]; with temporal pad (2,1) the
+        # conv's tap j reads gp[u - 2 + j], so k3d[j] = kb[3 - j].
+        k3d = jnp.stack(
+            [build_stem_bwd_kernel(pk[3 - j]) for j in range(4)], axis=0
+        )  # [4, 3, 3, 4*Cout, 4*Cin]
+        d = jax.lax.conv_general_dilated(
+            gp,
+            k3d,
+            window_strides=(1, 1, 1),
+            padding=[(2, 1), (1, 1), (1, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=pk.dtype,
+        )
+        dxp = depth_to_space_hw(d, 2)
+        return dxp, jnp.zeros_like(pk)
     gpad = jnp.pad(gp, ((0, 0), (2, 1), (0, 0), (0, 0), (0, 0)))
     acc = None
     for m in range(4):

@@ -176,3 +176,192 @@ class TestStemConvOnepass:
         monkeypatch.setenv("FLICKER_STEM_ONEPASS", "1")
         one = np.asarray(model.apply(variables, x)[0])
         np.testing.assert_allclose(one, base, atol=1e-5)
+
+
+class TestStemConvFusedBwd:
+    """stem_conv_fused_bwd: identical unrolled forward, backward as ONE 3-D
+    conv of g with the fully-flipped kernel — must equal the unrolled
+    autodiff to float tolerance (different contraction order)."""
+
+    def _inputs(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            pack_conv_spatiotemporal,
+            pack_input,
+        )
+
+        x = rng.normal(size=(2, 8, 16, 24, 3)).astype(np.float32)
+        w = (rng.normal(size=(7, 7, 7, 3, 5)) * 0.1).astype(np.float32)
+        xp = pack_input(jnp.asarray(x), axes=(1, 2, 3))
+        pk, _ = pack_conv_spatiotemporal(jnp.asarray(w), (2, 2, 2))
+        return xp, pk
+
+    def test_forward_identical(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_fwd_impl,
+            stem_conv_fused_bwd,
+        )
+
+        xp, pk = self._inputs(rng)
+        np.testing.assert_array_equal(
+            np.asarray(stem_conv_fused_bwd(xp, pk)),
+            np.asarray(_stem_fwd_impl(xp, pk)),
+        )
+
+    def test_grad_close_to_unrolled_autodiff(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_fwd_impl,
+            stem_conv_fused_bwd,
+        )
+
+        xp, pk = self._inputs(rng)
+        g = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 5)).astype(np.float32))
+        d_fused = jax.grad(lambda q: jnp.sum(stem_conv_fused_bwd(q, pk) * g))(xp)
+        d_auto = jax.grad(lambda q: jnp.sum(_stem_fwd_impl(q, pk) * g))(xp)
+        scale = np.abs(np.asarray(d_auto)).max()
+        np.testing.assert_allclose(
+            np.asarray(d_fused) / scale, np.asarray(d_auto) / scale, atol=1e-6
+        )
+
+    def test_engine_env_toggle(self, rng, monkeypatch):
+        """FLICKER_STEM_BWD3D=1 swaps the stem inside the model; logits and
+        the delta-gradient of a loss must match the default path."""
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+
+        variables = init_i3d_params(jax.random.key(0), num_classes=7, frames=8, size=16)
+        model = InceptionI3D(num_classes=7, compute_dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 8, 16, 16, 3)).astype(np.float32))
+
+        def loss(delta):
+            return jnp.sum(model.apply(variables, x + delta)[0] ** 2)
+
+        delta = jnp.zeros((8, 1, 1, 3), jnp.float32)
+        base = np.asarray(model.apply(variables, x)[0])
+        gbase = np.asarray(jax.grad(loss)(delta))
+        monkeypatch.setenv("FLICKER_STEM_BWD3D", "1")
+        fused = np.asarray(model.apply(variables, x)[0])
+        gfused = np.asarray(jax.grad(loss)(delta))
+        np.testing.assert_allclose(fused, base, atol=1e-5)
+        scale = max(np.abs(gbase).max(), 1e-30)
+        np.testing.assert_allclose(gfused / scale, gbase / scale, atol=1e-5)
+
+
+class TestStemConvCatBwd:
+    """stem_conv_catbwd (the default stem path): identical unrolled forward;
+    backward = one concat-kernel transposed conv + temporal shift-add, must
+    equal the unrolled autodiff to float tolerance."""
+
+    def _inputs(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            pack_conv_spatiotemporal,
+            pack_input,
+        )
+
+        x = rng.normal(size=(2, 8, 16, 24, 3)).astype(np.float32)
+        w = (rng.normal(size=(7, 7, 7, 3, 5)) * 0.1).astype(np.float32)
+        xp = pack_input(jnp.asarray(x), axes=(1, 2, 3))
+        pk, _ = pack_conv_spatiotemporal(jnp.asarray(w), (2, 2, 2))
+        return xp, pk
+
+    def test_forward_identical(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_fwd_impl,
+            stem_conv_catbwd,
+        )
+
+        xp, pk = self._inputs(rng)
+        np.testing.assert_array_equal(
+            np.asarray(stem_conv_catbwd(xp, pk)),
+            np.asarray(_stem_fwd_impl(xp, pk)),
+        )
+
+    def test_grad_close_to_unrolled_autodiff(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_fwd_impl,
+            stem_conv_catbwd,
+        )
+
+        xp, pk = self._inputs(rng)
+        g = jnp.asarray(rng.normal(size=(2, 4, 8, 12, 5)).astype(np.float32))
+        d_cat = jax.grad(lambda q: jnp.sum(stem_conv_catbwd(q, pk) * g))(xp)
+        d_auto = jax.grad(lambda q: jnp.sum(_stem_fwd_impl(q, pk) * g))(xp)
+        scale = np.abs(np.asarray(d_auto)).max()
+        np.testing.assert_allclose(
+            np.asarray(d_cat) / scale, np.asarray(d_auto) / scale, atol=1e-6
+        )
+
+    def test_autodiff_env_toggle(self, rng, monkeypatch):
+        """FLICKER_STEM_AUTODIFF=1 restores the round-2 autodiff path; the
+        default (catbwd) model must match it in logits and delta-gradient."""
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+
+        variables = init_i3d_params(jax.random.key(0), num_classes=7, frames=8, size=16)
+        model = InceptionI3D(num_classes=7, compute_dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 8, 16, 16, 3)).astype(np.float32))
+
+        def loss(delta):
+            return jnp.sum(model.apply(variables, x + delta)[0] ** 2)
+
+        delta = jnp.zeros((8, 1, 1, 3), jnp.float32)
+        base = np.asarray(model.apply(variables, x)[0])
+        gbase = np.asarray(jax.grad(loss)(delta))
+        monkeypatch.setenv("FLICKER_STEM_AUTODIFF", "1")
+        auto = np.asarray(model.apply(variables, x)[0])
+        gauto = np.asarray(jax.grad(loss)(delta))
+        np.testing.assert_allclose(auto, base, atol=1e-5)
+        scale = max(np.abs(gbase).max(), 1e-30)
+        np.testing.assert_allclose(gauto / scale, gbase / scale, atol=1e-5)
+
+
+class TestConvWpack:
+    """conv3x3s1_wpack: forward identical to the plain conv; the W-packed
+    backward-input must equal XLA autodiff to float tolerance."""
+
+    def test_forward_and_grad(self, rng):
+        from flickering_adversarial_video_tpu.ops.conv_wpack import (
+            _fwd_conv,
+            conv3x3s1_wpack,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 6, 10, 12, 8)).astype(np.float32))
+        k = jnp.asarray((rng.normal(size=(3, 3, 3, 8, 16)) * 0.1).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(conv3x3s1_wpack(x, k)), np.asarray(_fwd_conv(x, k))
+        )
+        g = jnp.asarray(rng.normal(size=(2, 6, 10, 12, 16)).astype(np.float32))
+        d0 = jax.grad(lambda q: jnp.sum(_fwd_conv(q, k) * g))(x)
+        d1 = jax.grad(lambda q: jnp.sum(conv3x3s1_wpack(q, k) * g))(x)
+        scale = np.abs(np.asarray(d0)).max()
+        np.testing.assert_allclose(
+            np.asarray(d1) / scale, np.asarray(d0) / scale, atol=1e-6
+        )
+
+    def test_model_env_toggle(self, rng, monkeypatch):
+        """FLICKER_CONV2C_WPACK=1 swaps Conv3d_2c_3x3's conv inside the
+        model; logits and delta-gradient must match the default path."""
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+
+        variables = init_i3d_params(jax.random.key(0), num_classes=7, frames=8, size=32)
+        model = InceptionI3D(num_classes=7, compute_dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 8, 32, 32, 3)).astype(np.float32))
+
+        def loss(delta):
+            return jnp.sum(model.apply(variables, x + delta)[0] ** 2)
+
+        delta = jnp.zeros((8, 1, 1, 3), jnp.float32)
+        base = np.asarray(model.apply(variables, x)[0])
+        gbase = np.asarray(jax.grad(loss)(delta))
+        monkeypatch.setenv("FLICKER_CONV2C_WPACK", "1")
+        packed = np.asarray(model.apply(variables, x)[0])
+        gpacked = np.asarray(jax.grad(loss)(delta))
+        np.testing.assert_allclose(packed, base, atol=1e-5)
+        scale = max(np.abs(gbase).max(), 1e-30)
+        np.testing.assert_allclose(gpacked / scale, gbase / scale, atol=1e-5)
