@@ -154,6 +154,9 @@ class AttackEngine:
         self._train_eval_step = jax.jit(self._train_eval_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._forward = jax.jit(self._forward_impl, static_argnames=("adversarial",))
+        self._train_steps = jax.jit(
+            self._train_steps_impl, static_argnums=(4,), donate_argnums=(0,)
+        )
 
     # ---------- state ----------
 
@@ -534,6 +537,23 @@ class AttackEngine:
 
     def train_step(self, state, batch, flags: RuntimeFlags, key) -> Tuple[AttackState, Dict]:
         return self._train_step(state, batch, flags, key)
+
+    def _train_steps_impl(self, state, batch, flags, key, n: int):
+        def body(s, _):
+            s, m = self._train_step_impl(s, batch, flags, key)
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    def train_steps(self, state, batch, flags: RuntimeFlags, key, n: int) -> AttackState:
+        """n fused optimizer steps on one batch as ONE compiled program
+        (lax.scan).  Exists for honest measurement on the tunneled bench
+        chip, where per-dispatch RTT (~40 ms) exceeds the small-geometry
+        step time so a Python dispatch loop measures the tunnel, not the
+        device; also useful for the reference's fixed-step per-clip budgets
+        (run_config.yml MAX_NUM_STEP) when no per-step logging is needed."""
+        return self._train_steps(state, batch, flags, key, n)
 
     def train_eval_step(self, state, batch, flags: RuntimeFlags, key) -> Tuple[AttackState, Dict]:
         return self._train_eval_step(state, batch, flags, key)

@@ -100,6 +100,25 @@ class _StemKernel(nn.Module):
         return self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
 
 
+class _BNVars(nn.Module):
+    """Variable mirror of nn.BatchNorm(use_running_average=True,
+    use_scale=False, use_bias=True): same collections/names/shapes, but
+    returns the raw (mean, var, bias) so a fused op can consume them."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return mean.value, var.value, bias
+
+
 def _apply_stem_conv(packed: jax.Array, pk: jax.Array) -> jax.Array:
     """Packed 4-tap stem conv: forward/backward implementations are chosen
     independently (all exact; see ops/space_to_depth.py).
@@ -167,6 +186,18 @@ class PackedStemUnit3D(nn.Module):
             )()
             packed = x.astype(self.compute_dtype)
             pk = _pack_stem_kernel(kernel).astype(self.compute_dtype)
+            if os.environ.get("FLICKER_STEM_FUSED_BN", "1") == "1":
+                # DEFAULT: conv+BN+relu as one custom-VJP op — the forward
+                # fusion writes only the relu output (XLA otherwise keeps
+                # the pre-activation alive for the backward relu mask, a
+                # second 411 MB write; 11.92 -> 12.03 steps/s, round 3).
+                # FLICKER_STEM_FUSED_BN=0 restores the separate BN module.
+                from ..ops.space_to_depth import stem_conv_bn_relu
+
+                mean, var, bias = _BNVars(
+                    self.output_channels, name="batch_norm"
+                )()
+                return stem_conv_bn_relu(packed, pk, mean, var, bias)
             y = _apply_stem_conv(packed, pk)
             y = nn.BatchNorm(
                 use_running_average=True,
@@ -249,20 +280,33 @@ class Unit3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from ..ops.conv_wpack import conv3x3s1_wpack, wpack_eligible
+        from ..ops.conv_wpack import (
+            conv3x3s1_outpack,
+            conv3x3s1_wpack,
+            wpack_eligible,
+        )
 
+        # default: stride-2-W pair-packed backward for the half-lane Conv2c
+        # bwd-input (11.52 -> 11.92 steps/s, round 3); FLICKER_CONV2C_OUTPACK=0
+        # restores plain autodiff, FLICKER_CONV2C_WPACK=1 selects the
+        # both-sides pack (measured negative, kept for A/B)
+        _wpack_mode = None
+        if os.environ.get("FLICKER_CONV2C_OUTPACK", "1") == "1":
+            _wpack_mode = conv3x3s1_outpack
+        if os.environ.get("FLICKER_CONV2C_WPACK", "") == "1":
+            _wpack_mode = conv3x3s1_wpack
         if (
-            os.environ.get("FLICKER_CONV2C_WPACK", "") == "1"
+            _wpack_mode is not None
             and not self.use_bias
             and wpack_eligible(x.shape, self.kernel_shape, self.stride)
         ):
-            # identical forward conv, W-packed full-lane backward-input
+            # identical forward conv, lane-packed backward-input
             # (ops/conv_wpack.py); parameter path matches nn.Conv's.
             kernel = _StemKernel(
                 (*self.kernel_shape, x.shape[-1], self.output_channels),
                 name="conv_3d",
             )()
-            x = conv3x3s1_wpack(x, kernel.astype(self.compute_dtype))
+            x = _wpack_mode(x, kernel.astype(self.compute_dtype))
         else:
             x = nn.Conv(
                 features=self.output_channels,

@@ -100,6 +100,59 @@ def _wpack_bwd(res, g):
 conv3x3s1_wpack.defvjp(_wpack_fwd, _wpack_bwd)
 
 
+@jax.custom_vjp
+def conv3x3s1_outpack(x: jax.Array, k: jax.Array) -> jax.Array:
+    """SAME stride-1 3x3x3 conv; backward-input as ONE stride-2-W conv whose
+    output channels are W-position pairs ((s, Cin), 2*Cin lanes).
+
+    Unlike the both-sides W-pack (conv3x3s1_wpack: 2x MACs — measured
+    negative), the gradient stays UNPACKED and the conv itself strides by 2
+    over W with a width-4 kernel:
+
+        dxp[u, (s,c)] = sum_a k^T[a] g[2u + (s+1-a)]      (offsets -1..2)
+
+    Only the width-4 kernel's structural zeros add work: 4/3x the MACs for
+    2x the output lanes.  Kernel cotangent is ZERO (frozen victim)."""
+    return _fwd_conv(x, k)
+
+
+def build_outpack_bwd_kernel(k: jax.Array) -> jax.Array:
+    """[3,3,3,Cin,Cout] -> [3,3,4,Cout,2*Cin]: stride-2-W transposed-conv
+    kernel with W-pair-packed output channels ((s, Cin) order)."""
+    cin, cout = k.shape[-2], k.shape[-1]
+    kt = jnp.flip(k, axis=(0, 1)).swapaxes(-1, -2)  # [3,3,3,Cout,Cin]
+    kk = jnp.zeros((3, 3, 4, cout, 2 * cin), k.dtype)
+    for s in (0, 1):
+        for a in (0, 1, 2):
+            j = (s + 1 - a) + 1  # W kernel index; reads g[2u + j - 1]
+            kk = kk.at[:, :, j, :, s * cin : (s + 1) * cin].add(kt[:, :, a])
+    return kk
+
+
+def _outpack_fwd(x, k):
+    return _fwd_conv(x, k), (x.shape, k)
+
+
+def _outpack_bwd(res, g):
+    shape, k = res
+    b, t, h, w, cin = shape
+    g = g.astype(k.dtype)
+    kk = build_outpack_bwd_kernel(k)
+    dxp = jax.lax.conv_general_dilated(
+        g,
+        kk,
+        window_strides=(1, 1, 2),
+        padding=[(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=k.dtype,
+    )  # [B,T,H,W/2,2*Cin], (s, Cin) order
+    dx = dxp.reshape(b, t, h, w // 2, 2, cin).reshape(b, t, h, w, cin)
+    return dx, jnp.zeros_like(k)
+
+
+conv3x3s1_outpack.defvjp(_outpack_fwd, _outpack_bwd)
+
+
 def wpack_eligible(x_shape, kernel_shape, stride) -> bool:
     """Gate: stride-1 3x3x3, even W, exactly half-lane input channels.
 

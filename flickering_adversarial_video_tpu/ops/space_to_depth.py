@@ -19,6 +19,7 @@ packed kernel has ceil((K + pad_lo%2)/2) taps and the packed conv pads
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -399,6 +400,50 @@ def _catbwd_bwd(res, g):
 
 
 stem_conv_catbwd.defvjp(_catbwd_fwd, _catbwd_bwd)
+
+
+def _stem_bn_relu_math(xp, pk, mean, var, bias, eps):
+    """Unrolled stem conv + inference BN (no scale) + relu.  Value-identical
+    to nn.BatchNorm(dtype=compute): params promoted to the compute dtype,
+    then (x - mean) * rsqrt(var + eps) + bias in that dtype."""
+    y = _stem_fwd_impl(xp, pk)
+    dt = y.dtype
+    mean, var, bias = mean.astype(dt), var.astype(dt), bias.astype(dt)
+    y = (y - mean) * jax.lax.rsqrt(var + jnp.asarray(eps, dt)) + bias
+    return jax.nn.relu(y)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def stem_conv_bn_relu(xp, pk, mean, var, bias, eps=1e-3):
+    """Stem conv + frozen-BN + relu as ONE custom-VJP op.
+
+    Without it XLA keeps BOTH the pre-activation and the relu output of the
+    stem alive for the backward (xplane round 3: the stem forward fusion
+    writes two [256,112,112,64] tensors, 822 MB at 603 GiB/s — HBM-bound).
+    Saving only the relu output y and recomputing the mask as y > 0 (exact:
+    relu'(x) = [x > 0] = [y > 0] except at x == 0 where both give 0·g)
+    halves the forward fusion's write traffic.  Backward = mask * rsqrt *
+    concat-kernel conv (stem_conv_catbwd's backward).  BN/kernel cotangents
+    are ZERO (frozen victim)."""
+    return _stem_bn_relu_math(xp, pk, mean, var, bias, eps)
+
+
+def _bn_relu_fwd(xp, pk, mean, var, bias, eps):
+    y = _stem_bn_relu_math(xp, pk, mean, var, bias, eps)
+    return y, (xp.shape, pk, var, y)
+
+
+def _bn_relu_bwd(eps, res, g):
+    shape, pk, var, y = res
+    g = g.astype(pk.dtype)
+    vdt = var.astype(pk.dtype)
+    g2 = g * (y > 0) * jax.lax.rsqrt(vdt + jnp.asarray(eps, pk.dtype))
+    dxp, _ = _catbwd_bwd((shape, pk), g2)
+    zeros_f32 = jnp.zeros_like(var)
+    return dxp, jnp.zeros_like(pk), zeros_f32, zeros_f32, zeros_f32
+
+
+stem_conv_bn_relu.defvjp(_bn_relu_fwd, _bn_relu_bwd)
 
 
 @jax.custom_vjp

@@ -141,6 +141,61 @@ def summarize(outdir: str, top: int = 40, steps: int = 10, show_text: int = 0):
     print("\n-- by category --")
     for name, us in sorted(groups.items(), key=lambda kv: -kv[1]):
         print(f"{us/steps:9.1f} {100*us/tot:5.1f}  {name}")
+    return rows, ix, tot
+
+
+_DTYPE_BYTES = {
+    "bf16": 2, "f16": 2, "f32": 4, "f64": 8, "u8": 1, "s8": 1, "pred": 1,
+    "u16": 2, "s16": 2, "u32": 4, "s32": 4, "u64": 8, "s64": 8,
+}
+
+
+def _logical_bytes(hlo_text: str) -> int:
+    """Sum of logical operand+output bytes parsed from one op's HLO text —
+    the MINIMUM HBM traffic if every tensor is touched exactly once (no
+    padding, no re-reads).  A lower bound for memory SoL."""
+    import re
+
+    total = 0
+    for m in re.finditer(r"\b(bf16|f16|f32|f64|u8|s8|u16|s16|u32|s32|u64|s64|pred)\[([0-9,]*)\]", hlo_text):
+        dt, dims = m.groups()
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def sol_table(rows, ix, tot, steps: int, peak_flops=197e12, peak_bw=819e9, top=25):
+    """Per-op speed-of-light bound: max(model FLOPs / MXU peak, logical
+    operand+output bytes / HBM peak).  Logical bytes come from the op's own
+    HLO shapes (minimum traffic); FLOPs from xprof's model-flops estimate.
+    Prints measured vs SoL per op and the step-level totals — the
+    falsifiable wall claim VERDICT r2 asked for."""
+    print(f"\n-- speed-of-light (peak {peak_flops/1e12:.0f} TF/s, {peak_bw/1e9:.0f} GB/s) --")
+    print(f"{'us/step':>9} {'sol_us':>8} {'x':>5}  {'bound':<7} op")
+    entries = []
+    for q in rows:
+        us = (q[ix["Total self time (us)"]] or 0) / steps
+        if us <= 0:
+            continue
+        gf = q[ix["Model GFLOP/s"]] or 0
+        flops = gf * 1e9 * us / 1e6  # model flops per step for this op
+        nbytes = _logical_bytes(q[ix["HLO op text"]] or "")
+        sol_c = flops / peak_flops * 1e6
+        sol_m = nbytes / peak_bw * 1e6
+        sol = max(sol_c, sol_m)
+        bound = "compute" if sol_c >= sol_m else "memory"
+        entries.append((us, sol, bound, q[ix["HLO op name"]] or ""))
+    entries.sort(key=lambda e: -e[0])
+    for us, sol, bound, name in entries[:top]:
+        ratio = us / sol if sol > 0 else float("inf")
+        print(f"{us:9.1f} {sol:8.1f} {ratio:5.1f}  {bound:<7} {name[:70]}")
+    tot_us = sum(e[0] for e in entries)
+    tot_sol = sum(e[1] for e in entries)
+    print(f"\nstep: measured {tot_us/1e3:.2f} ms, SoL sum {tot_sol/1e3:.2f} ms "
+          f"-> {100*tot_sol/tot_us:.0f}% of speed-of-light")
 
 
 if __name__ == "__main__":
@@ -155,6 +210,7 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="i3d", choices=["i3d", "r2plus1d_18"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--show-text", type=int, default=0)
+    ap.add_argument("--sol", action="store_true", help="print per-op speed-of-light table")
     args = ap.parse_args()
     if args.model == "r2plus1d_18":
         # torch-world bench geometry (PERF.md): only override what the user
@@ -175,4 +231,7 @@ if __name__ == "__main__":
                 args.outdir, args.steps, args.frames, args.size, args.batch,
                 prepacked=args.prepacked,
             )
-    summarize(args.outdir, args.top, steps=args.steps, show_text=args.show_text)
+    out = summarize(args.outdir, args.top, steps=args.steps, show_text=args.show_text)
+    if args.sol and out:
+        rows, ix, tot = out
+        sol_table(rows, ix, tot, steps=args.steps, top=args.top)

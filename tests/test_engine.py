@@ -130,6 +130,24 @@ class TestTrainStep:
             assert k in metrics, k
 
 
+class TestTrainStepsChained:
+    def test_scan_chain_equals_step_loop(self, rng, engine):
+        """train_steps (one lax.scan program, used by bench for
+        tunnel-independent timing) must reproduce the train_step loop's
+        delta trajectory exactly (same ops, same order)."""
+        batch = make_batch(rng)
+        flags = RuntimeFlags()
+        key = jax.random.key(0)
+        s_loop = engine.init_state()
+        for _ in range(5):
+            s_loop, _ = engine.train_step(s_loop, batch, flags, key)
+        s_chain = engine.train_steps(engine.init_state(), batch, flags, key, 5)
+        np.testing.assert_allclose(
+            np.asarray(s_chain.delta), np.asarray(s_loop.delta), atol=1e-6
+        )
+        assert int(s_chain.step) == int(s_loop.step) == 5
+
+
 class TestEvalStep:
     def test_zero_delta_no_fooling(self, rng):
         apply_fn, variables = linear_victim()

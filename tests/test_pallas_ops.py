@@ -318,6 +318,65 @@ class TestStemConvCatBwd:
         np.testing.assert_allclose(gauto / scale, gbase / scale, atol=1e-5)
 
 
+class TestConvOutpack:
+    """conv3x3s1_outpack: forward identical; stride-2-W pair-packed backward
+    must equal XLA autodiff to float tolerance (4/3 MACs, full lanes)."""
+
+    def test_forward_and_grad(self, rng):
+        from flickering_adversarial_video_tpu.ops.conv_wpack import (
+            _fwd_conv,
+            conv3x3s1_outpack,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 6, 10, 12, 8)).astype(np.float32))
+        k = jnp.asarray((rng.normal(size=(3, 3, 3, 8, 16)) * 0.1).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(conv3x3s1_outpack(x, k)), np.asarray(_fwd_conv(x, k))
+        )
+        g = jnp.asarray(rng.normal(size=(2, 6, 10, 12, 16)).astype(np.float32))
+        d0 = jax.grad(lambda q: jnp.sum(_fwd_conv(q, k) * g))(x)
+        d1 = jax.grad(lambda q: jnp.sum(conv3x3s1_outpack(q, k) * g))(x)
+        scale = np.abs(np.asarray(d0)).max()
+        np.testing.assert_allclose(
+            np.asarray(d1) / scale, np.asarray(d0) / scale, atol=1e-6
+        )
+
+
+class TestStemFusedBN:
+    """stem_conv_bn_relu: conv+frozen-BN+relu fused op must match the
+    separate stem-conv -> nn.BatchNorm -> relu chain in values and
+    delta-gradient (FLICKER_STEM_FUSED_BN model toggle)."""
+
+    def test_model_env_toggle(self, rng, monkeypatch):
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+        from flickering_adversarial_video_tpu.ops.space_to_depth import pack_input
+
+        variables = init_i3d_params(jax.random.key(0), num_classes=7, frames=8, size=32)
+        m = InceptionI3D(
+            num_classes=7, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        x = jnp.asarray(rng.normal(size=(1, 8, 32, 32, 3)).astype(np.float32))
+        xp = pack_input(x, axes=(1, 2, 3))
+
+        def loss(q):
+            return jnp.sum(m.apply(variables, q)[0] ** 2)
+
+        monkeypatch.setenv("FLICKER_STEM_FUSED_BN", "0")
+        base = np.asarray(m.apply(variables, xp)[0])
+        gbase = np.asarray(jax.grad(loss)(xp))
+        monkeypatch.setenv("FLICKER_STEM_FUSED_BN", "1")
+        v1 = init_i3d_params(jax.random.key(0), num_classes=7, frames=8, size=32)
+        assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v1)
+        fused = np.asarray(m.apply(variables, xp)[0])
+        gfused = np.asarray(jax.grad(loss)(xp))
+        np.testing.assert_allclose(fused, base, atol=1e-5)
+        scale = max(np.abs(gbase).max(), 1e-30)
+        np.testing.assert_allclose(gfused / scale, gbase / scale, atol=1e-5)
+
+
 class TestConvWpack:
     """conv3x3s1_wpack: forward identical to the plain conv; the W-packed
     backward-input must equal XLA autodiff to float tolerance."""
