@@ -120,6 +120,7 @@ class AttackEngine:
         mesh=None,
         track_probs: bool = True,
         apply_packed_fn: Optional[Callable[[Any, jax.Array], jax.Array]] = None,
+        stem_head=None,
     ):
         self.apply_fn = apply_fn
         self.variables = variables
@@ -133,6 +134,12 @@ class AttackEngine:
         # + delta apply + pack fuse into one packed-space custom-VJP op
         # (ops/packed_apply.py) — no full-size f32 relayouts fwd or bwd.
         self.apply_packed_fn = apply_packed_fn
+        # Faster still (host-prepacked tanh world only): preprocess AND the
+        # I3D stem conv+BN+relu as one op (ops/packed_apply.flicker_stem_head
+        # — the packed input gradient is contracted away, never stored);
+        # a StemHead carries the packed kernel, BN stats, and the
+        # skip_stem victim forward.
+        self.stem_head = stem_head
         self.optimizer = optax.inject_hyperparams(optax.adam)(
             learning_rate=config.learning_rate
         )
@@ -316,6 +323,17 @@ class AttackEngine:
             if self._mask is not None:
                 clipped = clipped * self._mask
             adv_flag = jnp.asarray(flags.adv_flag, jnp.float32)
+        if prepacked and self.stem_head is not None:
+            from ..ops.packed_apply import flicker_stem_head
+
+            sh = self.stem_head
+            y = flicker_stem_head(
+                video, clipped, adv_flag,
+                sh.pk, sh.mean, sh.var, sh.bias,
+                self.spec.input_min, self.spec.input_max,
+                sh.out_dtype,
+            )
+            return sh.apply_fn(self.variables, y)
         op = apply_flicker_prepacked if prepacked else apply_flicker_packed
         adv_packed = op(
             video, clipped, adv_flag, self.spec.input_min, self.spec.input_max

@@ -410,6 +410,11 @@ class InceptionI3D(nn.Module):
     # plain XLA reduce-window + select-and-scatter on every pool (the TF1
     # graph's lowering) — the bench baseline's honest configuration
     naive_pools: bool = False
+    # __call__ receives the STEM OUTPUT (post conv+BN+relu, [B,T',H,W,64]):
+    # the engine computed the stem inside the fused preprocess head
+    # (ops/packed_apply.py flicker_stem_head); stem parameters in the
+    # variables dict are simply left untouched.
+    skip_stem: bool = False
 
     @nn.compact
     def __call__(
@@ -425,7 +430,9 @@ class InceptionI3D(nn.Module):
             end_points[name] = x
             return self.final_endpoint == name
 
-        if self.prepacked_stem_input:
+        if self.skip_stem:
+            pass  # x IS the stem output; fall through to the endpoint check
+        elif self.prepacked_stem_input:
             x = PackedStemUnit3D(
                 64, compute_dtype=dt, prepacked_input=True, name="Conv3d_1a_7x7"
             )(x)
@@ -531,6 +538,33 @@ def make_packed_apply_fn(num_classes: int = 400, compute_dtype: Any = jnp.bfloat
         prepacked_stem_input=True,
     )
     return lambda variables, packed_x: packed_model.apply(variables, packed_x)[0]
+
+
+def build_stem_head(
+    variables: Any, num_classes: int = 400, compute_dtype: Any = jnp.bfloat16
+):
+    """StemHead for the fused preprocess+stem path (engine `stem_head=`):
+    packed 4-tap stem kernel + frozen BN stats from `variables`, and the
+    skip_stem forward over the SAME variables (the stem entries are simply
+    not consumed by it)."""
+    from ..ops.packed_apply import StemHead
+
+    stem_p = variables["params"]["Conv3d_1a_7x7"]
+    stats = variables["batch_stats"]["Conv3d_1a_7x7"]["batch_norm"]
+    pk = _pack_stem_kernel(jnp.asarray(stem_p["conv_3d"]["kernel"])).astype(
+        compute_dtype
+    )
+    model = InceptionI3D(
+        num_classes=num_classes, compute_dtype=compute_dtype, skip_stem=True
+    )
+    return StemHead(
+        pk=pk,
+        mean=jnp.asarray(stats["mean"]),
+        var=jnp.asarray(stats["var"]),
+        bias=jnp.asarray(stem_p["batch_norm"]["bias"]),
+        apply_fn=lambda v, y: model.apply(v, y)[0],
+        out_dtype=compute_dtype,
+    )
 
 
 def init_i3d_params(

@@ -31,6 +31,7 @@ HLO is ever emitted.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -240,7 +241,11 @@ def max_pool_same(
     Both implementations stay (exact-parity tested, incl. ties) behind
     `force_custom` for future A/B on other geometries/toolchains.
     """
-    if force_custom or all(s == 1 for s in strides):
+    if (
+        force_custom
+        or os.environ.get("FLICKER_POOL_FORCE_CUSTOM", "") == "1"
+        or all(s == 1 for s in strides)
+    ):
         return _max_pool_custom(x, tuple(window), tuple(strides))
     if window[0] == 1 and strides[0] == 1 and x.ndim == 5:
         # spatial-only pool: fold (B, T) so XLA sees a 4-D reduce-window

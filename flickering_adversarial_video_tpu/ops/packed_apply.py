@@ -168,6 +168,120 @@ def packable(video_shape: Tuple[int, ...]) -> bool:
     )
 
 
+# ---------------- fused preprocess + stem head (tanh world) ----------------
+
+
+import dataclasses
+from typing import Any, Callable
+
+
+@dataclasses.dataclass
+class StemHead:
+    """Everything the engine needs to run flicker_stem_head: the packed stem
+    kernel, the frozen BN stats/offset, and the skip_stem victim forward
+    (models/i3d.build_stem_head constructs one from a variables dict)."""
+
+    pk: jax.Array
+    mean: jax.Array
+    var: jax.Array
+    bias: jax.Array
+    apply_fn: Callable[[Any, jax.Array], jax.Array]
+    out_dtype: Any = jnp.bfloat16  # the victim's compute dtype
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def flicker_stem_head(
+    packed_u8: jax.Array,
+    delta_applied: jax.Array,
+    adv_flag: jax.Array,
+    pk: jax.Array,
+    bn_mean: jax.Array,
+    bn_var: jax.Array,
+    bn_bias: jax.Array,
+    input_min: float,
+    input_max: float,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """normalize+delta+clip AND the packed stem conv+BN+relu as ONE
+    custom-VJP op: the packed-space input gradient is never materialized.
+
+    Without this, the VJP boundary between apply_flicker_prepacked and the
+    stem materializes d(adv_packed) [B,T',H',W',8C] and XLA relayouts it
+    W-minor before the mask-reduce (xplane round 3: copy.85 1.7 ms +
+    pad_slice/shift-add fusions ~2 ms on the T=64 B=8 step).  Here the
+    backward contracts the stem's per-tap partials (catbwd_partials)
+    DIRECTLY against temporal shifts of the (recomputed, fusible) clipped
+    adv tensor via jax.grad of the contraction — one pass over the partials,
+    clip-gradient semantics identical to jnp.clip's own VJP.  d(delta)
+    tap-sum association differs from the separate-op path at bf16 rounding
+    level only.  pk/BN cotangents are ZERO (frozen victim)."""
+    from .space_to_depth import _stem_bn_relu_math
+
+    adv = _packed_math(
+        packed_u8, delta_applied, adv_flag, input_min, input_max, out_dtype
+    )
+    return _stem_bn_relu_math(adv, pk, bn_mean, bn_var, bn_bias, 1e-3)
+
+
+def _head_fwd(
+    packed_u8, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+    input_min, input_max, out_dtype,
+):
+    from .space_to_depth import _stem_bn_relu_math
+
+    adv = _packed_math(
+        packed_u8, delta_applied, adv_flag, input_min, input_max, out_dtype
+    )
+    y = _stem_bn_relu_math(adv, pk, bn_mean, bn_var, bn_bias, 1e-3)
+    return y, (packed_u8, delta_applied, adv_flag, pk, bn_var, y)
+
+
+def _head_bwd(input_min, input_max, out_dtype, res, g):
+    from .space_to_depth import catbwd_partials
+
+    packed_u8, delta_applied, adv_flag, pk, bn_var, y = res
+    cin = pk.shape[-2]
+    tt = y.shape[1]
+    g = g.astype(pk.dtype)
+    vdt = bn_var.astype(pk.dtype)
+    g2 = g * (y > 0) * jax.lax.rsqrt(vdt + jnp.asarray(1e-3, pk.dtype))
+    part = catbwd_partials(g2, pk)  # [B,T',H',W',4*Cin]
+
+    def contracted(delta, flag):
+        adv = _packed_math(packed_u8, delta, flag, input_min, input_max, out_dtype)
+        s = jnp.float32(0.0)
+        # dx[v] = sum_m part[v+1-m, tap m]  <=>  sum_u part[u, m]*adv[u+m-1]
+        for m in range(4):
+            blk = jax.lax.slice_in_dim(part, m * cin, (m + 1) * cin, axis=4)
+            off = m - 1
+            if off < 0:
+                a = jax.lax.slice_in_dim(adv, 0, tt - 1, axis=1)
+                p = jax.lax.slice_in_dim(blk, 1, tt, axis=1)
+            elif off == 0:
+                a, p = adv, blk
+            else:
+                a = jax.lax.slice_in_dim(adv, off, tt, axis=1)
+                p = jax.lax.slice_in_dim(blk, 0, tt - off, axis=1)
+            s = s + jnp.sum((a * p).astype(jnp.float32))
+        return s
+
+    d_delta, d_flag = jax.grad(contracted, argnums=(0, 1))(
+        delta_applied, jnp.asarray(adv_flag, jnp.float32)
+    )
+    return (
+        np.zeros(packed_u8.shape, dtype=jax.dtypes.float0),
+        d_delta,
+        d_flag,
+        jnp.zeros_like(pk),
+        jnp.zeros_like(bn_var),  # mean (same [Cout] shape/dtype as var)
+        jnp.zeros_like(bn_var),
+        jnp.zeros_like(bn_var),  # bias
+    )
+
+
+flicker_stem_head.defvjp(_head_fwd, _head_bwd)
+
+
 # ---------------- torch world (mean/std, spatial-only pack) ----------------
 #
 # The video-ResNet stems pack H,W only (stride (1,2,2) convs; T untouched),

@@ -367,16 +367,16 @@ def _catbwd_fwd(xp, pk):
     return _stem_fwd_impl(xp, pk), (xp.shape, pk)
 
 
-def _catbwd_bwd(res, g):
-    shape, pk = res
-    b, tt, hh, ww, cin = shape
-    g = g.astype(pk.dtype)
-    cout = pk.shape[-1]
-    # [4,4,4,Cin,Cout] -> per-tap spatially-flipped transpose [4,4,Cout,Cin],
-    # concatenated on output channels -> [4,4,Cout,4*Cin]
+def catbwd_partials(g: jax.Array, pk: jax.Array) -> jax.Array:
+    """The concat-kernel backward's per-tap partials: one wide 2-D conv of
+    the (already dtype-matched) upstream gradient g [B,T',H',W',Cout] with
+    all four spatially-flipped tap kernels concatenated on output channels
+    -> [B,T',H',W',4*Cin].  dx[v] = sum_m part[v + 1 - m][tap m block]."""
+    b, tt, hh, ww, cout = g.shape
+    cin = pk.shape[-2]
     kflip = jnp.flip(pk, axis=(1, 2)).swapaxes(-1, -2)  # [4(m),4,4,Cout,Cin]
     kcat = jnp.concatenate([kflip[m] for m in range(4)], axis=-1)
-    part = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         g.reshape(b * tt, hh, ww, cout),
         kcat,
         window_strides=(1, 1),
@@ -384,6 +384,13 @@ def _catbwd_bwd(res, g):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=pk.dtype,
     ).reshape(b, tt, hh, ww, 4 * cin)
+
+
+def _catbwd_bwd(res, g):
+    shape, pk = res
+    b, tt, hh, ww, cin = shape
+    g = g.astype(pk.dtype)
+    part = catbwd_partials(g, pk)
     # temporal combine: dx[v] = sum_m part[v + 1 - m][tap m block]
     acc = None
     for m in range(4):

@@ -261,6 +261,27 @@ def build_engine(
         model_name, variables, num_classes or reg.num_classes, compute_dtype
     )
 
+    # Fused preprocess+stem head (ops/packed_apply.flicker_stem_head): only
+    # meaningful on the host-prepacked tanh-world path; same gating as the
+    # packed fn plus the BN stats the head consumes.  Measured NEUTRAL on the
+    # T=64 B=8 headline (11.82 vs 11.84 steps/s, round 3 — the gradient
+    # relayout the fusion removes reappears at the contraction's input), so
+    # default-off; kept exact-parity tested for future XLA versions.
+    stem_head = None
+    if (
+        os.environ.get("FLICKER_FUSED_HEAD", "") == "1"
+        and model_name == "i3d"
+        and apply_packed_fn is not None
+        and isinstance(variables, dict)
+        and "batch_stats" in variables
+        and "Conv3d_1a_7x7" in variables.get("batch_stats", {})
+    ):
+        from ..models.i3d import build_stem_head
+
+        stem_head = build_stem_head(
+            variables, num_classes or reg.num_classes, compute_dtype
+        )
+
     engine = AttackEngine(
         apply_fn,
         variables,
@@ -269,6 +290,7 @@ def build_engine(
         mesh=mesh,
         track_probs=track_probs,
         apply_packed_fn=apply_packed_fn,
+        stem_head=stem_head,
     )
     return engine, labels
 

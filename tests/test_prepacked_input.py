@@ -147,6 +147,64 @@ class TestEnginePrepacked:
         assert int(e1["miss"]) == int(e2["miss"])
         assert int(e1["valid"]) == int(e2["valid"])
 
+    def test_fused_stem_head_trajectory_matches(self, rng):
+        """stem_head= (ops/packed_apply.flicker_stem_head): preprocess AND
+        the stem conv+BN+relu fused into one custom-VJP op must reproduce the
+        standard prepacked path's trajectory (tap-sum association differs at
+        float rounding only) and its clean forward bit-exactly."""
+        from flickering_adversarial_video_tpu.models.i3d import build_stem_head
+
+        frames, size, k = 8, 16, 7
+        model = InceptionI3D(num_classes=k, compute_dtype=jnp.float32)
+        packed_model = InceptionI3D(
+            num_classes=k, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        variables = init_i3d_params(
+            jax.random.key(2), num_classes=k, frames=frames, size=size
+        )
+        spec = FlickerSpec(frames=frames)
+
+        def mk(stem_head):
+            return AttackEngine(
+                lambda v, x: model.apply(v, x)[0],
+                variables,
+                spec,
+                AttackConfig(),
+                apply_packed_fn=lambda v, xp: packed_model.apply(v, xp)[0],
+                stem_head=stem_head,
+            )
+
+        e0 = mk(None)
+        e1 = mk(build_stem_head(variables, num_classes=k, compute_dtype=jnp.float32))
+        video = rng.integers(0, 256, (2, frames, size, size, 3), dtype=np.uint8)
+        batch = {
+            "video_packed": jnp.asarray(pack_video_np(video)),
+            "labels": jnp.asarray(rng.integers(0, k, (2,))),
+        }
+        flags = RuntimeFlags()
+        key = jax.random.key(0)
+        s0, s1 = e0.init_state(), e1.init_state()
+        for _ in range(3):
+            s0, m0 = e0.train_step(s0, batch, flags, key)
+            s1, m1 = e1.train_step(s1, batch, flags, key)
+            assert float(m1["total_loss"]) == pytest.approx(
+                float(m0["total_loss"]), rel=1e-6
+            )
+        np.testing.assert_allclose(
+            np.asarray(s1.delta), np.asarray(s0.delta), rtol=1e-5, atol=1e-8
+        )
+        l0 = np.asarray(e0._packed_logits(None, batch["video_packed"], flags, prepacked=True))
+        l1 = np.asarray(e1._packed_logits(None, batch["video_packed"], flags, prepacked=True))
+        np.testing.assert_array_equal(l0, l1)
+        # eval counters through the fused head
+        delta = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (frames, 1, 1, 3)).astype(np.float32)
+        )
+        ev0 = e0.eval_step(delta, batch, flags, key)
+        ev1 = e1.eval_step(delta, batch, flags, key)
+        assert int(ev0["miss"]) == int(ev1["miss"])
+        assert int(ev0["valid"]) == int(ev1["valid"])
+
     def test_prepacked_without_packed_fn_raises(self, rng):
         frames, size = 8, 16
         model = InceptionI3D(num_classes=5, compute_dtype=jnp.float32)
