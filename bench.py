@@ -364,8 +364,11 @@ def main():
             "video": rng.integers(0, 255, (1, 90, SIZE, SIZE, 3), dtype=np.uint8),
             "labels": rng.integers(0, 400, (1,), dtype=np.int64),
         }
+        # chunk=30: at ~33 ms device step the 10-step chain still paid ~12%
+        # tunnel RTT per dispatch; one 30-step scan per dispatch drops that
+        # under 4% (xplane device time is the ground truth either way)
         result["single_video_T90_B1_steps_per_s"] = round(
-            time_optimized(sv_engine, sv_batch, steps=30), 3
+            time_optimized(sv_engine, sv_batch, steps=60, chunk=30), 3
         )
     except Exception as e:  # secondary metric must not sink the headline
         result["single_video_T90_B1_error"] = repr(e)[:120]

@@ -176,6 +176,12 @@ class PackedStemUnit3D(nn.Module):
     # engine fused the pack into the uint8 preprocess (ops/packed_apply.py),
     # killing the f32 relayout copies the apply-time pack costs.
     prepacked_input: bool = False
+    # emit the MaxPool3d_2a_3x3 output directly: the stem conv is
+    # output-packed over H/W so the pool's window structure lives in output
+    # CHANNELS (ops/stem_pool.py) — no reduce-window forward (76 GiB/s,
+    # PERF.md round 2) and no select-and-scatter backward.  The caller must
+    # then SKIP MaxPool3d_2a_3x3.
+    fuse_pool2a: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -186,6 +192,17 @@ class PackedStemUnit3D(nn.Module):
             )()
             packed = x.astype(self.compute_dtype)
             pk = _pack_stem_kernel(kernel).astype(self.compute_dtype)
+            if self.fuse_pool2a:
+                from ..ops.stem_pool import (
+                    pack_stem_kernel_outpack,
+                    stem_pool_outpack,
+                )
+
+                mean, var, bias = _BNVars(
+                    self.output_channels, name="batch_norm"
+                )()
+                pko = pack_stem_kernel_outpack(pk)
+                return stem_pool_outpack(packed, pk, pko, mean, var, bias)
             if os.environ.get("FLICKER_STEM_FUSED_BN", "1") == "1":
                 # DEFAULT: conv+BN+relu as one custom-VJP op — the forward
                 # fusion writes only the relu output (XLA otherwise keeps
@@ -430,8 +447,31 @@ class InceptionI3D(nn.Module):
             end_points[name] = x
             return self.final_endpoint == name
 
+        # Fused stem+pool experiment (FLICKER_STEM_OUTPACK=1): the stem op
+        # emits the MaxPool3d_2a_3x3 value directly (ops/stem_pool.py), so
+        # the Conv3d_1a_7x7 endpoint is never materialized — only eligible
+        # when nothing downstream asks for it.
+        fuse_pool2a = (
+            self.prepacked_stem_input
+            and not self.skip_stem
+            and os.environ.get("FLICKER_STEM_OUTPACK", "") == "1"
+            and self.final_endpoint != "Conv3d_1a_7x7"
+            and not self.naive_pools
+            and x.shape[2] % 2 == 0
+            and x.shape[3] % 2 == 0
+        )
         if self.skip_stem:
             pass  # x IS the stem output; fall through to the endpoint check
+        elif fuse_pool2a:
+            x = PackedStemUnit3D(
+                64,
+                compute_dtype=dt,
+                prepacked_input=True,
+                fuse_pool2a=True,
+                name="Conv3d_1a_7x7",
+            )(x)
+            if done("MaxPool3d_2a_3x3"):
+                return x, end_points
         elif self.prepacked_stem_input:
             x = PackedStemUnit3D(
                 64, compute_dtype=dt, prepacked_input=True, name="Conv3d_1a_7x7"
@@ -442,11 +482,12 @@ class InceptionI3D(nn.Module):
             x = Unit3D(
                 64, (7, 7, 7), (2, 2, 2), compute_dtype=dt, name="Conv3d_1a_7x7"
             )(x)
-        if done("Conv3d_1a_7x7"):
-            return x, end_points
-        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2), naive=self.naive_pools)
-        if done("MaxPool3d_2a_3x3"):
-            return x, end_points
+        if not fuse_pool2a:  # fused path already produced the 2a pool value
+            if done("Conv3d_1a_7x7"):
+                return x, end_points
+            x = _max_pool_same(x, (1, 3, 3), (1, 2, 2), naive=self.naive_pools)
+            if done("MaxPool3d_2a_3x3"):
+                return x, end_points
         x = Unit3D(64, (1, 1, 1), compute_dtype=dt, name="Conv3d_2b_1x1")(x)
         if done("Conv3d_2b_1x1"):
             return x, end_points
