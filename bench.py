@@ -357,7 +357,11 @@ def main():
 
     # Secondary geometries (extra JSON fields; VERDICT round 1 item 6):
     # the single-video config (#1: B=1, T=90) and the torch-world universal
-    # step (r2plus1d_18, B=16, 16x112x112).
+    # step (r2plus1d_18, B=16, 16x112x112).  BENCH_HEADLINE_ONLY=1 skips
+    # them (fast A/B of env-gated kernel experiments on the tunneled chip).
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        print(json.dumps(result))
+        return
     try:
         sv_engine = build_i3d_geometry_engine(variables, jnp.bfloat16, frames=90)
         sv_batch = {
