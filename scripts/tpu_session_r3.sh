@@ -1,0 +1,49 @@
+#!/bin/sh
+# Round-3 measurement sequence (runs unattended once the tunnel is back).
+# ONE jax process at a time — strictly serial.  Writes /tmp/tpu_r3/*.log.
+set -x
+OUT=/tmp/tpu_r3
+mkdir -p $OUT
+cd /root/repo
+
+# 0) chip sanity
+python -c "import jax; print(jax.devices())" > $OUT/00_devices.log 2>&1 || exit 1
+
+# 1) headline A/B: default vs outpacked stem+pool
+BENCH_HEADLINE_ONLY=1 timeout 3000 python bench.py > $OUT/10_default.json 2>$OUT/10_default.err
+BENCH_HEADLINE_ONLY=1 FLICKER_STEM_OUTPACK=1 timeout 3000 python bench.py > $OUT/11_outpack.json 2>$OUT/11_outpack.err
+
+# 2) region microbench (attribution)
+timeout 2400 python scripts/ab_stem_pool.py > $OUT/20_region.log 2>&1
+
+# 3) B=1 single-video with chunk=30 chains, default vs outpack
+timeout 3000 python - > $OUT/30_b1.log 2>&1 <<'EOF'
+import os, numpy as np, jax, jax.numpy as jnp, json
+import bench
+rng = np.random.default_rng(0)
+sv_batch = {
+    "video": rng.integers(0, 255, (1, 90, 224, 224, 3), dtype=np.uint8),
+    "labels": rng.integers(0, 400, (1,), dtype=np.int64),
+}
+_, _, variables = bench.build_engine(jnp.bfloat16)
+for tag, outpack, force_custom in (
+    ("default", "0", "0"),
+    ("outpack", "1", "0"),
+    ("force_custom_pools", "0", "1"),   # PERF.md: re-measure under chained timing
+    ("outpack+force_custom", "1", "1"),
+):
+    os.environ["FLICKER_STEM_OUTPACK"] = outpack
+    os.environ["FLICKER_POOL_FORCE_CUSTOM"] = force_custom
+    eng = bench.build_i3d_geometry_engine(variables, jnp.bfloat16, frames=90)
+    r = bench.time_optimized(eng, sv_batch, steps=60, chunk=30)
+    print(json.dumps({"tag": tag, "single_video_T90_B1_steps_per_s": round(r, 3)}), flush=True)
+EOF
+
+# 4) full bench with whichever won (recorded; default unless outpack clearly wins)
+timeout 4800 python bench.py > $OUT/40_full_default.json 2>$OUT/40_full.err
+
+# 5) xplane per-op profile of the current prepacked headline step
+timeout 3000 python scripts/profile_step.py --prepacked --steps 10 \
+  --outdir /tmp/xtrace_r3 > $OUT/50_xplane.log 2>&1
+
+echo DONE > $OUT/99_done
