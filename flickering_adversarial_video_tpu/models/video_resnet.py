@@ -30,6 +30,7 @@ Inputs are mean/std-normalized pixels in [B, T, H, W, 3]
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -57,18 +58,38 @@ def _conv(
     padding: Sequence[int],
     dt,
     name: str,
-) -> nn.Conv:
+):
     pad = [(p, p) for p in padding]
-    return nn.Conv(
-        features=features,
-        kernel_size=tuple(kernel),
-        strides=tuple(stride),
-        padding=pad,
-        use_bias=False,
-        dtype=dt,
-        param_dtype=jnp.float32,
-        name=name,
-    )
+
+    def make_conv():
+        return nn.Conv(
+            features=features,
+            kernel_size=tuple(kernel),
+            strides=tuple(stride),
+            padding=pad,
+            use_bias=False,
+            dtype=dt,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+
+    if os.environ.get("FLICKER_RESNET_OUTPACK", "") != "1":
+        return make_conv()
+    # stride-2-W output-packed backward-input for the under-laned stride-1
+    # convs (xplane round 2: layer1 bwd fusions at 47 TF/s, dx C=64 = half
+    # the MXU lanes).  Forward values identical; parameter path identical
+    # (<name>/kernel).  Gated until measured end to end.  Module
+    # construction is deferred into the branch so only ONE of the two
+    # claims `name` in the parent compact scope.
+    from ..ops.conv_wpack import conv_s1_outpack, outpack_eligible_resnet
+
+    def apply(x):
+        if outpack_eligible_resnet(x.shape, kernel, stride, padding):
+            k = _Kernel((*kernel, x.shape[-1], features), name=name)()
+            return conv_s1_outpack(x.astype(dt), k.astype(dt))
+        return make_conv()(x)
+
+    return apply
 
 
 def _midplanes(in_planes: int, out_planes: int) -> int:

@@ -117,16 +117,34 @@ def conv3x3s1_outpack(x: jax.Array, k: jax.Array) -> jax.Array:
 
 
 def build_outpack_bwd_kernel(k: jax.Array) -> jax.Array:
-    """[3,3,3,Cin,Cout] -> [3,3,4,Cout,2*Cin]: stride-2-W transposed-conv
-    kernel with W-pair-packed output channels ((s, Cin) order)."""
-    cin, cout = k.shape[-2], k.shape[-1]
-    kt = jnp.flip(k, axis=(0, 1)).swapaxes(-1, -2)  # [3,3,3,Cout,Cin]
-    kk = jnp.zeros((3, 3, 4, cout, 2 * cin), k.dtype)
+    """[kT,kH,3,Cin,Cout] -> [kT,kH,4,Cout,2*Cin]: stride-2-W transposed-conv
+    kernel with W-pair-packed output channels ((s, Cin) order).  T/H are
+    ordinary flipped transposed-conv axes (any odd extents, symmetric pads);
+    W must be the 3-tap pads-(1,1) axis of the forward."""
+    kt_, kh_, kw_, cin, cout = k.shape
+    assert kw_ == 3, kw_
+    kt = jnp.flip(k, axis=(0, 1)).swapaxes(-1, -2)  # [kT,kH,3,Cout,Cin]
+    kk = jnp.zeros((kt_, kh_, 4, cout, 2 * cin), k.dtype)
     for s in (0, 1):
         for a in (0, 1, 2):
             j = (s + 1 - a) + 1  # W kernel index; reads g[2u + j - 1]
             kk = kk.at[:, :, j, :, s * cin : (s + 1) * cin].add(kt[:, :, a])
     return kk
+
+
+def _outpack_bwd_impl(g, k, shape, pad_t: int, pad_h: int):
+    b, t, h, w, cin = shape
+    g = g.astype(k.dtype)
+    kk = build_outpack_bwd_kernel(k)
+    dxp = jax.lax.conv_general_dilated(
+        g,
+        kk,
+        window_strides=(1, 1, 2),
+        padding=[(pad_t, pad_t), (pad_h, pad_h), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=k.dtype,
+    )  # [B,T,H,W/2,2*Cin], (s, Cin) order
+    return dxp.reshape(b, t, h, w // 2, 2, cin).reshape(b, t, h, w, cin)
 
 
 def _outpack_fwd(x, k):
@@ -135,22 +153,69 @@ def _outpack_fwd(x, k):
 
 def _outpack_bwd(res, g):
     shape, k = res
-    b, t, h, w, cin = shape
-    g = g.astype(k.dtype)
-    kk = build_outpack_bwd_kernel(k)
-    dxp = jax.lax.conv_general_dilated(
-        g,
-        kk,
-        window_strides=(1, 1, 2),
-        padding=[(1, 1), (1, 1), (1, 1)],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=k.dtype,
-    )  # [B,T,H,W/2,2*Cin], (s, Cin) order
-    dx = dxp.reshape(b, t, h, w // 2, 2, cin).reshape(b, t, h, w, cin)
-    return dx, jnp.zeros_like(k)
+    return _outpack_bwd_impl(g, k, shape, 1, 1), jnp.zeros_like(k)
 
 
 conv3x3s1_outpack.defvjp(_outpack_fwd, _outpack_bwd)
+
+
+# ---- generalized variant: any odd (kT,kH,3) stride-1 conv with torch
+# symmetric padding (kT//2, kH//2, 1) — covers the video-ResNet (1,3,3)
+# spatial convs whose backward-input fusions run C_out-bound (xplane round 2:
+# r2plus1d_18 layer1, 4 x 3.6 ms at 47 TF/s with dx C=64 = half lanes).
+
+
+def _fwd_conv_sym(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Stride-1 conv with torch symmetric padding (k//2 per axis) — for odd
+    kernels identical to SAME, spelled explicitly to match the video-ResNet
+    convs' padding lists (models/video_resnet.py _conv)."""
+    pads = [(k.shape[i] // 2,) * 2 for i in range(3)]
+    return jax.lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(1, 1, 1),
+        padding=pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+@jax.custom_vjp
+def conv_s1_outpack(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Stride-1 (kT,kH,3) conv, symmetric torch padding; backward-input as
+    the stride-2-W output-packed transposed conv (full lanes at 4/3x W MACs).
+    Kernel cotangent is ZERO (frozen victim)."""
+    return _fwd_conv_sym(x, k)
+
+
+def _s1_outpack_fwd(x, k):
+    return _fwd_conv_sym(x, k), (x.shape, k)
+
+
+def _s1_outpack_bwd(res, g):
+    shape, k = res
+    dx = _outpack_bwd_impl(g, k, shape, k.shape[0] // 2, k.shape[1] // 2)
+    return dx, jnp.zeros_like(k)
+
+
+conv_s1_outpack.defvjp(_s1_outpack_fwd, _s1_outpack_bwd)
+
+
+def outpack_eligible_resnet(x_shape, kernel, stride, padding) -> bool:
+    """Gate for the video-ResNet convs: stride-1, kW=3 with symmetric torch
+    pads, even W, half-lane-or-less input channels (dx C_out <= 64 is the
+    measured under-laned case; wider inputs stay on autodiff)."""
+    return (
+        len(x_shape) == 5
+        and tuple(stride) == (1, 1, 1)
+        and len(kernel) == 3
+        and kernel[2] == 3
+        and kernel[0] % 2 == 1
+        and kernel[1] % 2 == 1
+        and tuple(padding) == (kernel[0] // 2, kernel[1] // 2, 1)
+        and x_shape[3] % 2 == 0
+        and x_shape[-1] <= 64
+    )
 
 
 def wpack_eligible(x_shape, kernel_shape, stride) -> bool:

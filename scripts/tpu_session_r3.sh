@@ -39,6 +39,22 @@ for tag, outpack, force_custom in (
     print(json.dumps({"tag": tag, "single_video_T90_B1_steps_per_s": round(r, 3)}), flush=True)
 EOF
 
+# 3b) torch-world secondary: r2plus1d_18 with/without the layer-conv outpack
+timeout 3000 python - > $OUT/35_r2.log 2>&1 <<'EOF'
+import os, numpy as np, jax, jax.numpy as jnp, json
+import bench
+rng = np.random.default_rng(0)
+r2_batch = {
+    "video": rng.integers(0, 255, (16, 16, 112, 112, 3), dtype=np.uint8),
+    "labels": rng.integers(0, 400, (16,), dtype=np.int64),
+}
+for tag, env in (("default", "0"), ("resnet_outpack", "1")):
+    os.environ["FLICKER_RESNET_OUTPACK"] = env
+    eng = bench.build_r2plus1d_engine(jnp.bfloat16)
+    r = bench.time_optimized(eng, r2_batch, steps=30)
+    print(json.dumps({"tag": tag, "r2plus1d_18_T16_B16_steps_per_s": round(r, 3)}), flush=True)
+EOF
+
 # 4) full bench with whichever won (recorded; default unless outpack clearly wins)
 timeout 4800 python bench.py > $OUT/40_full_default.json 2>$OUT/40_full.err
 

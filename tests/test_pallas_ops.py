@@ -424,3 +424,65 @@ class TestConvWpack:
         np.testing.assert_allclose(packed, base, atol=1e-5)
         scale = max(np.abs(gbase).max(), 1e-30)
         np.testing.assert_allclose(gpacked / scale, gbase / scale, atol=1e-5)
+
+
+class TestConvS1OutpackGeneral:
+    """conv_s1_outpack: the (kT,kH,3) generalization of the stride-2-W
+    output-packed backward, for the video-ResNet spatial convs."""
+
+    def test_133_forward_and_grad(self, rng):
+        from flickering_adversarial_video_tpu.ops.conv_wpack import (
+            _fwd_conv_sym,
+            conv_s1_outpack,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 5, 10, 12, 8)).astype(np.float32))
+        k = jnp.asarray((rng.normal(size=(1, 3, 3, 8, 16)) * 0.1).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(conv_s1_outpack(x, k)), np.asarray(_fwd_conv_sym(x, k))
+        )
+        g = jnp.asarray(rng.normal(size=(2, 5, 10, 12, 16)).astype(np.float32))
+        d0 = jax.grad(lambda q: jnp.sum(_fwd_conv_sym(q, k) * g))(x)
+        d1 = jax.grad(lambda q: jnp.sum(conv_s1_outpack(q, k) * g))(x)
+        scale = np.abs(np.asarray(d0)).max()
+        np.testing.assert_allclose(
+            np.asarray(d1) / scale, np.asarray(d0) / scale, atol=1e-6
+        )
+
+    def test_333_matches_same_variant(self, rng):
+        from flickering_adversarial_video_tpu.ops.conv_wpack import (
+            conv3x3s1_outpack,
+            conv_s1_outpack,
+        )
+
+        x = jnp.asarray(rng.normal(size=(1, 4, 6, 8, 4)).astype(np.float32))
+        k = jnp.asarray((rng.normal(size=(3, 3, 3, 4, 8)) * 0.1).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(1, 4, 6, 8, 8)).astype(np.float32))
+        d0 = jax.grad(lambda q: jnp.sum(conv3x3s1_outpack(q, k) * g))(x)
+        d1 = jax.grad(lambda q: jnp.sum(conv_s1_outpack(q, k) * g))(x)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-6)
+
+    def test_r2plus1d_model_env_toggle(self, rng, monkeypatch):
+        """FLICKER_RESNET_OUTPACK=1 swaps the eligible layer convs inside
+        r2plus1d_18; logits and delta-gradient must match, parameter tree
+        identical."""
+        from flickering_adversarial_video_tpu.models.video_resnet import r2plus1d_18
+
+        model = r2plus1d_18(num_classes=7, compute_dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 4, 16, 16, 3)).astype(np.float32))
+        variables = jax.jit(model.init)(jax.random.key(0), x)
+
+        def loss(delta):
+            return jnp.sum(model.apply(variables, x + delta) ** 2)
+
+        delta = jnp.zeros((4, 1, 1, 3), jnp.float32)
+        base = np.asarray(model.apply(variables, x))
+        gbase = np.asarray(jax.grad(loss)(delta))
+        monkeypatch.setenv("FLICKER_RESNET_OUTPACK", "1")
+        v1 = jax.jit(model.init)(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v1)
+        packed = np.asarray(model.apply(variables, x))
+        gpacked = np.asarray(jax.grad(loss)(delta))
+        np.testing.assert_allclose(packed, base, atol=1e-5)
+        scale = max(np.abs(gbase).max(), 1e-30)
+        np.testing.assert_allclose(gpacked / scale, gbase / scale, atol=1e-5)
