@@ -162,3 +162,60 @@ class TestModelToggle:
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-5)
         scale = max(np.abs(gbase).max(), 1e-30)
         np.testing.assert_allclose(gfused / scale, gbase / scale, atol=1e-5)
+
+
+class TestMeshParityOutpack:
+    def test_sharded_fused_step_matches_single_device(self, rng, monkeypatch):
+        """The fused stem+pool path under the 8-device data mesh must produce
+        the same delta trajectory as single-device (psum-over-ICI gradient of
+        the custom VJP), on the real prepacked I3D at test scale."""
+        monkeypatch.setenv("FLICKER_STEM_OUTPACK", "1")
+        from flickering_adversarial_video_tpu.attack import FlickerSpec
+        from flickering_adversarial_video_tpu.data.packing import pack_video_np
+        from flickering_adversarial_video_tpu.engine import (
+            AttackConfig,
+            AttackEngine,
+            RuntimeFlags,
+        )
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+        from flickering_adversarial_video_tpu.parallel import make_mesh
+
+        assert jax.device_count() == 8, "conftest must provide 8 CPU devices"
+        frames, size = 8, 32
+        variables = init_i3d_params(
+            jax.random.key(0), num_classes=11, frames=frames, size=size
+        )
+        model = InceptionI3D(num_classes=11, compute_dtype=jnp.float32)
+        packed_model = InceptionI3D(
+            num_classes=11, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        mk = lambda mesh: AttackEngine(
+            lambda v, x: model.apply(v, x)[0],
+            variables,
+            FlickerSpec(frames=frames),
+            AttackConfig(),
+            mesh=mesh,
+            apply_packed_fn=lambda v, xp: packed_model.apply(v, xp)[0],
+        )
+        video = rng.integers(0, 255, (8, frames, size, size, 3), dtype=np.uint8)
+        batch = {
+            "video_packed": jnp.asarray(pack_video_np(video)),
+            "labels": jnp.asarray(rng.integers(0, 11, (8,))),
+        }
+        flags = RuntimeFlags()
+        single, multi = mk(None), mk(make_mesh())
+        s_state, m_state = single.init_state(), multi.init_state()
+        m_batch = multi.shard(batch)
+        for i in range(3):
+            k = jax.random.key(i)
+            s_state, s_m = single.train_step(s_state, batch, flags, k)
+            m_state, m_m = multi.train_step(m_state, m_batch, flags, k)
+        np.testing.assert_allclose(
+            np.asarray(s_state.delta), np.asarray(m_state.delta), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(s_m["total_loss"]), float(m_m["total_loss"]), rtol=1e-5
+        )
