@@ -219,3 +219,37 @@ class TestMeshParityOutpack:
         np.testing.assert_allclose(
             float(s_m["total_loss"]), float(m_m["total_loss"]), rtol=1e-5
         )
+
+
+class TestBF16:
+    def test_bf16_matches_natural_bf16(self, rng):
+        """The fused op in bfloat16 (the TPU compute dtype) against the
+        natural bf16 chain — catches dtype bugs (-inf fills, tiled f32
+        stats promotion) before chip time."""
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            _stem_bn_relu_math,
+        )
+
+        xp = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 8)) * 0.3, jnp.bfloat16)
+        pk = jnp.asarray(rng.normal(size=(4, 4, 4, 8, 6)) * 0.2, jnp.bfloat16)
+        mean = jnp.asarray(rng.normal(size=(6,)) * 0.1, jnp.float32)
+        var = jnp.asarray(rng.uniform(0.5, 2.0, size=(6,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(6,)) * 0.1, jnp.float32)
+        pko = pack_stem_kernel_outpack(pk)
+
+        got = stem_pool_outpack(xp, pk, pko, mean, var, bias)
+        want = _ref_pool(_stem_bn_relu_math(xp, pk, mean, var, bias, 1e-3))
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            atol=0.05, rtol=0.05,  # bf16 summation-order slack
+        )
+        g = jnp.asarray(rng.normal(size=got.shape), jnp.bfloat16)
+        d = jax.grad(
+            lambda q: jnp.sum(
+                (stem_pool_outpack(q, pk, pko, mean, var, bias) * g).astype(jnp.float32)
+            )
+        )(xp)
+        assert d.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(d, np.float32)).all()
