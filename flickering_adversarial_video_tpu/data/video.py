@@ -4,9 +4,17 @@ Replicates the reference's preprocessing semantics
 (utils/pre_process_rgb_flow.py:30-145): fps-resample toward 25fps by frame
 skipping, aspect-preserving resize so the SHORT side reaches 256 (max-ratio
 resize, :37), scale x/128-1 into [-1,1], center-crop 224, keep the LAST
-n_steps frames.  The optical-flow branch of the reference is dead on the
-attack path (flow=False everywhere) and is deliberately not rebuilt
-(SURVEY.md "Explicit non-goals").
+n_steps frames.
+
+The optical-flow branch (pre_process_rgb_flow.py:104-124) is dead on every
+attack path (flow=False throughout) but is rebuilt for API completeness:
+`video_to_frames(..., flow=True)` returns (clip, flow) with the reference's
+postprocessing (clip +-20 px, /20, center-crop), computed by the JAX TV-L1
+solver in optical_flow.py instead of cv2's contrib DualTVL1.  Two documented
+deviations: flow pairs are consecutive PROCESSED frames (the reference seeds
+the first pair with the raw first video frame read before its loop), and the
+flow stack has T-1 entries for T kept frames (the reference emits T flows
+and never truncates them to n_steps — a quirk, not a contract).
 
 cv2 is an optional host dependency; uint8 output variants exist for the
 tfrecord writers (kinetics_to_tf_record_uint8.py keeps raw uint8).
@@ -45,6 +53,19 @@ def crop_center(image: np.ndarray, size: int) -> np.ndarray:
     return image[y1 : y1 + size, x1 : x1 + size]
 
 
+def frames_to_flow(gray_frames: np.ndarray, crop_size: int = 224) -> np.ndarray:
+    """TV-L1 flow for consecutive resized gray frames, reference-postprocessed.
+
+    [T, H, W] float gray (0..255 scale) -> [T-1, crop, crop, 2] in [-1, 1]
+    (clip +-20 px then /20, pre_process_rgb_flow.py:110-113).  Runs the JAX
+    solver as one vmapped program over the T-1 pairs.
+    """
+    from .optical_flow import flow_for_video, postprocess_flow
+
+    flow = flow_for_video(np.asarray(gray_frames, np.float32))
+    return np.asarray(postprocess_flow(flow, crop_size=crop_size))
+
+
 def video_to_frames(
     video_path: str,
     target_fps: int = 25,
@@ -52,12 +73,16 @@ def video_to_frames(
     crop_size: int = 224,
     n_steps: int = 90,
     dtype: str = "float32",
+    flow: bool = False,
 ) -> Optional[np.ndarray]:
     """Decode + preprocess one clip.
 
     Returns [1, T, crop, crop, 3]; float path in [-1, 1] (x/128-1,
     pre_process_rgb_flow.py:93), uint8 path raw pixels for the tfrecord
-    writers.  None if the file cannot be opened.
+    writers.  None if the file cannot be opened.  With flow=True returns
+    (clip, flow[1, T-1, crop, crop, 2]) — the reference's flow branch
+    (pre_process_rgb_flow.py:104-124), computed on the resized pre-crop gray
+    frames like the original (see module docstring for the two deviations).
     """
     if not _HAS_CV2:
         raise RuntimeError("cv2 unavailable")
@@ -68,6 +93,7 @@ def video_to_frames(
     frame_gap = max(1, int(round(fps / target_fps)))
 
     frames = []
+    grays = []
     frame_num = 1
     while True:
         ok, frame = capture.read()
@@ -76,6 +102,8 @@ def video_to_frames(
         if frame_num % frame_gap == 0:
             image = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             image = resize_min_side(image, resize_height)
+            if flow:
+                grays.append(cv2.cvtColor(image, cv2.COLOR_RGB2GRAY))
             if dtype == "uint8":
                 image = crop_center(image, crop_size)
             else:
@@ -89,4 +117,7 @@ def video_to_frames(
     clip = np.asarray(frames)
     if frame_num >= n_steps:
         clip = clip[-n_steps:]
+    if flow:
+        flow_arr = frames_to_flow(np.asarray(grays, np.float32), crop_size)
+        return clip[np.newaxis], flow_arr[np.newaxis]
     return clip[np.newaxis]
