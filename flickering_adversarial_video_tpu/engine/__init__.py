@@ -4,3 +4,4 @@ from .attack_step import (
     RuntimeFlags,
     AttackEngine,
 )
+from .vector_sweep import VectorSweepEngine, vector_fit_many_videos

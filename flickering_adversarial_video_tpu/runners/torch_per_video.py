@@ -52,6 +52,7 @@ def run(
     max_videos: Optional[int] = None,
     num_classes: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
+    slots: int = 1,
 ):
     loss_cfg = loss_cfg or {}
     apply_fn, variables = build_victim(
@@ -91,6 +92,23 @@ def run(
         random_crop=False,
         random_flip=False,
     )
+    if slots > 1:
+        # vectorized sweep: `slots` videos in flight as one batched XLA
+        # program (engine/vector_sweep.py) — same seeds, ledger and result
+        # schema as the sequential path, so the two can resume each other
+        from ..engine.vector_sweep import vector_fit_many_videos
+
+        return vector_fit_many_videos(
+            engine,
+            ds.batches(1, drop_remainder=False, shuffle=False),
+            flags,
+            model_dir=model_dir,
+            label_names=label_names,
+            slots=slots,
+            n_iter=n_iter,
+            max_norm=l_inf_norm,
+            max_videos=max_videos,
+        )
     return fit_many_videos(
         engine,
         ds.batches(1, drop_remainder=False, shuffle=False),
@@ -115,6 +133,10 @@ def main(argv=None):
         "--num-classes", type=int, default=None,
         help="head width (359/487 for ig65m r2plus1d_34; default: registry)",
     )
+    p.add_argument(
+        "--slots", type=int, default=1,
+        help="videos attacked simultaneously (vectorized sweep; 1 = sequential)",
+    )
     args = p.parse_args(argv)
     enable_compilation_cache()
     from ..utils.labels import warn_if_placeholder
@@ -131,6 +153,7 @@ def main(argv=None):
         l_inf_norm=args.linf,
         model_dir=args.model_dir,
         num_classes=args.num_classes,
+        slots=args.slots,
     )
     print(out)
 

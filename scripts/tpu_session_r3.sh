@@ -39,6 +39,37 @@ for tag, outpack, force_custom in (
     print(json.dumps({"tag": tag, "single_video_T90_B1_steps_per_s": round(r, 3)}), flush=True)
 EOF
 
+# 3a) vectorized per-video sweep throughput: slots x T90 clips in flight
+# (engine/vector_sweep.py) vs the sequential B=1 rate from step 3
+timeout 3000 python - > $OUT/33_vsweep.log 2>&1 <<'EOF'
+import time, numpy as np, jax, jax.numpy as jnp, json
+import bench
+from flickering_adversarial_video_tpu.engine import RuntimeFlags
+from flickering_adversarial_video_tpu.engine.vector_sweep import VectorSweepEngine
+rng = np.random.default_rng(0)
+_, _, variables = bench.build_engine(jnp.bfloat16)
+for slots in (2, 4):
+    eng = bench.build_i3d_geometry_engine(variables, jnp.bfloat16, frames=90)
+    vse = VectorSweepEngine(eng, slots, n_iter=10**9)  # no stop inside timing
+    videos = jnp.asarray(rng.integers(0, 255, (slots, 90, 224, 224, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 400, (slots,), dtype=np.int32))
+    keys = jax.vmap(jax.random.key)(jnp.arange(slots, dtype=jnp.uint32))
+    state = vse.init_slots(list(range(slots)))
+    for i in range(slots):
+        state = vse.refill_slot(state, i, i, 0.4)
+    flags = RuntimeFlags(max_norm=0.4)
+    chunk = 30
+    state, _ = vse.run_chunk(state, videos, labels, keys, flags, chunk)  # compile
+    jax.block_until_ready(state.delta)
+    t0 = time.perf_counter()
+    trials = 3
+    for _ in range(trials):
+        state, _ = vse.run_chunk(state, videos, labels, keys, flags, chunk)
+    jax.block_until_ready(state.delta)
+    rate = slots * chunk * trials / (time.perf_counter() - t0)
+    print(json.dumps({"slots": slots, "vector_sweep_clip_steps_per_s": round(rate, 2)}), flush=True)
+EOF
+
 # 3b) torch-world secondary: r2plus1d_18 with/without the layer-conv outpack
 timeout 3000 python - > $OUT/35_r2.log 2>&1 <<'EOF'
 import os, numpy as np, jax, jax.numpy as jnp, json

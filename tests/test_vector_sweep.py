@@ -1,0 +1,225 @@
+"""Vectorized per-video sweep (engine/vector_sweep.py).
+
+The load-bearing claim is EXACT equivalence with the sequential sweep: N
+slots of vmapped per-clip steps (own delta, own Adam state, own stop rule /
+escalation counters) must reproduce engine.sweep.fit_single_video's
+trajectories for the same seeds — Adam is elementwise and each delta only
+touches its own clip, so vectorization is exact up to batched-op float
+reassociation.  Asserted per video over full per-step histories.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
+from flickering_adversarial_video_tpu.engine import (
+    AttackConfig,
+    AttackEngine,
+    RuntimeFlags,
+)
+from flickering_adversarial_video_tpu.engine.sweep import (
+    fit_many_videos,
+    result_path_for,
+)
+from flickering_adversarial_video_tpu.engine.vector_sweep import (
+    VectorSweepEngine,
+    vector_fit_many_videos,
+)
+
+FRAMES, SIZE = 4, 8
+LABEL_NAMES = [f"class {i}" for i in range(40)]
+
+
+def victim():
+    w = jax.random.normal(jax.random.key(11), (3, 40)) * 3.0
+
+    def apply_fn(variables, x):
+        return jnp.mean(x, axis=(1, 2, 3)) @ variables["w"]
+
+    return apply_fn, {"w": w}
+
+
+def make_engine():
+    apply_fn, variables = victim()
+    spec = TorchStyleFlickerSpec(frames=FRAMES, max_norm=0.2)
+    cfg = AttackConfig(norm_world="meanstd", reg_weighting="torch")
+    return AttackEngine(apply_fn, variables, spec, cfg, track_probs=False)
+
+
+def self_labeled_batches(engine, n, start_seed=0):
+    rng = np.random.default_rng(17)
+    out = []
+    zero = engine.init_state(jax.random.key(0)).delta
+    for i in range(n):
+        video = rng.integers(0, 255, (1, FRAMES, SIZE, SIZE, 3), dtype=np.uint8)
+        probs = engine.forward(
+            zero,
+            {"video": jnp.asarray(video), "labels": jnp.zeros((1,), jnp.int32)},
+            RuntimeFlags(max_norm=0.2),
+            jax.random.key(0),
+            adversarial=False,
+        )
+        out.append(
+            {
+                "video": video,
+                "labels": np.asarray(jnp.argmax(probs, -1)),
+                "paths": [f"v{start_seed + i}.mp4"],
+            }
+        )
+    return out
+
+
+N_ITER = 6
+
+
+class TestEquivalenceWithSequential:
+    def test_matches_sequential_sweep(self, tmp_path):
+        engine = make_engine()
+        batches = self_labeled_batches(engine, 3)
+        flags = RuntimeFlags(max_norm=0.2)
+
+        seq_dir = str(tmp_path / "seq")
+        vec_dir = str(tmp_path / "vec")
+        seq = fit_many_videos(
+            engine,
+            batches,
+            flags,
+            model_dir=seq_dir,
+            label_names=LABEL_NAMES,
+            n_iter=N_ITER,
+            max_norm=0.2,
+        )
+        vec = vector_fit_many_videos(
+            engine,
+            batches,
+            flags,
+            model_dir=vec_dir,
+            label_names=LABEL_NAMES,
+            slots=2,
+            chunk=5,
+            n_iter=N_ITER,
+            max_norm=0.2,
+        )
+        assert seq["attacked"] == vec["attacked"] == 3
+        for b in batches:
+            name = LABEL_NAMES[int(b["labels"][0])]
+            seq_res = np.load(
+                result_path_for(seq_dir, b["paths"][0], name), allow_pickle=True
+            ).tolist()
+            vec_res = np.load(
+                result_path_for(vec_dir, b["paths"][0], name), allow_pickle=True
+            ).tolist()
+            assert len(seq_res["loss/total"]) == len(vec_res["loss/total"])
+            assert seq_res["is_adversarial"] == vec_res["is_adversarial"]
+            assert seq_res["escalations"] == vec_res["escalations"]
+            np.testing.assert_allclose(
+                seq_res["final_max_norm"], vec_res["final_max_norm"], rtol=1e-6
+            )
+            for k in (
+                "loss/total",
+                "loss/adv_loss",
+                "loss/reg_loss",
+                "perturbation/thickness",
+                "perturbation/roughness",
+            ):
+                np.testing.assert_allclose(
+                    seq_res[k], vec_res[k], atol=2e-5, rtol=1e-4, err_msg=k
+                )
+            np.testing.assert_allclose(
+                np.asarray(seq_res["perturbation"]),
+                np.asarray(vec_res["perturbation"]),
+                atol=1e-4,
+                err_msg="per-step delta history",
+            )
+
+    def test_escalation_parity_unfoolable(self, tmp_path):
+        """A clip whose label can never be missed (targeted at its own argmax
+        is impossible here, so force never-fooled via a wrong high-margin
+        setup): every chance escalates; counters must match sequential."""
+        engine = make_engine()
+        [b] = self_labeled_batches(engine, 1)
+        # make it unfoolable within the tiny budget by shrinking the lr to ~0
+        flags = RuntimeFlags(max_norm=0.2, learning_rate=1e-12)
+        seq_dir, vec_dir = str(tmp_path / "s"), str(tmp_path / "v")
+        fit_many_videos(
+            engine, [b], flags, model_dir=seq_dir, label_names=LABEL_NAMES,
+            n_iter=3, max_norm=0.2,
+        )
+        vector_fit_many_videos(
+            engine, [b], flags, model_dir=vec_dir, label_names=LABEL_NAMES,
+            slots=2, chunk=4, n_iter=3, max_norm=0.2,
+        )
+        name = LABEL_NAMES[int(b["labels"][0])]
+        s = np.load(result_path_for(seq_dir, b["paths"][0], name), allow_pickle=True).tolist()
+        v = np.load(result_path_for(vec_dir, b["paths"][0], name), allow_pickle=True).tolist()
+        assert s["escalations"] == v["escalations"] == 4
+        assert len(s["loss/total"]) == len(v["loss/total"])
+        np.testing.assert_allclose(s["final_max_norm"], v["final_max_norm"], rtol=1e-6)
+
+
+class TestSweepBookkeeping:
+    def test_ledger_skip_and_misclassified(self, tmp_path):
+        engine = make_engine()
+        batches = self_labeled_batches(engine, 2)
+        # video 0: pre-existing adversarial result -> skipped_existing
+        name0 = LABEL_NAMES[int(batches[0]["labels"][0])]
+        dest0 = result_path_for(str(tmp_path), batches[0]["paths"][0], name0)
+        np.save(dest0, {"is_adversarial": [True]})
+        # video 1: wrong label -> skipped_misclassified, placeholder left
+        batches[1]["labels"] = (batches[1]["labels"] + 1) % 40
+        out = vector_fit_many_videos(
+            engine,
+            batches,
+            RuntimeFlags(max_norm=0.2),
+            model_dir=str(tmp_path),
+            label_names=LABEL_NAMES,
+            slots=2,
+            chunk=3,
+            n_iter=2,
+            max_norm=0.2,
+        )
+        assert out["skipped_existing"] == 1
+        assert out["skipped_misclassified"] == 1
+        assert out["attacked"] == 0
+        name1 = LABEL_NAMES[int(batches[1]["labels"][0])]
+        dest1 = result_path_for(str(tmp_path), batches[1]["paths"][0], name1)
+        assert os.path.exists(dest1)  # None placeholder (model.py:942-943)
+        assert np.load(dest1, allow_pickle=True).tolist() is None
+
+    def test_max_videos_cap(self, tmp_path):
+        engine = make_engine()
+        batches = self_labeled_batches(engine, 3)
+        out = vector_fit_many_videos(
+            engine,
+            batches,
+            RuntimeFlags(max_norm=0.2),
+            model_dir=str(tmp_path),
+            label_names=LABEL_NAMES,
+            slots=2,
+            chunk=4,
+            n_iter=2,
+            max_videos=2,
+            max_norm=0.2,
+        )
+        assert out["attacked"] == 2
+
+    def test_more_slots_than_videos(self, tmp_path):
+        engine = make_engine()
+        batches = self_labeled_batches(engine, 2)
+        out = vector_fit_many_videos(
+            engine,
+            batches,
+            RuntimeFlags(max_norm=0.2),
+            model_dir=str(tmp_path),
+            label_names=LABEL_NAMES,
+            slots=4,
+            chunk=4,
+            n_iter=2,
+            max_norm=0.2,
+        )
+        assert out["attacked"] == 2
