@@ -386,8 +386,12 @@ class AttackEngine:
         norm_r = reg_lib.thinness_reg(reg_delta)
         diff_r = reg_lib.first_order_diff_reg(reg_delta)
         lap_r = reg_lib.second_order_diff_reg(reg_delta)
+        # L12 group norm: logged in EVERY mode by the reference (its flickering
+        # graph defines loss_L12 over the masked delta too,
+        # kinetics_i3d_utils.py:190; summary tag Loss/L12, universal:183)
+        l12_r = reg_lib.l12_regularizer(reg_delta)
         if self.config.attack_kind == "sparse":
-            reg = flags.beta1 * reg_lib.l12_regularizer(reg_delta)
+            reg = flags.beta1 * l12_r
         elif self.config.reg_weighting == "torch":
             reg = flags.beta1 * norm_r + (1.0 - flags.beta1) * (diff_r + lap_r)
         else:
@@ -396,6 +400,8 @@ class AttackEngine:
         terms = {
             "adv_loss": adv_total,
             "reg_loss": reg,
+            "weighted_reg": flags.beta0 * reg,
+            "l12": l12_r,
             "norm_reg": norm_r,
             "diff_norm_reg": diff_r,
             "laplacian_norm_reg": lap_r,
@@ -448,6 +454,10 @@ class AttackEngine:
             "total_loss": total,
             "thickness": thick,
             "roughness": rough,
+            # Perturbation/{max,min} summary inputs (universal:190-191);
+            # pre-update delta like every other fetched metric
+            "delta_max": jnp.max(state.delta),
+            "delta_min": jnp.min(state.delta),
             "is_adversarial": fooled,
             "step": state.step,
             **terms,

@@ -50,11 +50,18 @@ class ScalarWriter:
         self.scalar("Loss/total", m["total_loss"], step)
         self.scalar("Loss/adversarial_loss", m["adv_loss"], step)
         self.scalar("Loss/regularizer_loss", m["reg_loss"], step)
+        if "weighted_reg" in m:
+            self.scalar("Loss/regularizer_loss_weighted", m["weighted_reg"], step)
         self.scalar("Loss/thickness", m["norm_reg"], step)
+        if "l12" in m:
+            self.scalar("Loss/L12", m["l12"], step)
         self.scalar("Loss/first_order_temporal_diff", m["diff_norm_reg"], step)
         self.scalar("Loss/second_order_temporal_diff", m["laplacian_norm_reg"], step)
         self.scalar("Perturbation/thickness_%", m["thickness"] / 2.0 * 100, step)
         self.scalar("Perturbation/roughness_%", m["roughness"] / 2.0 * 100, step)
+        if "delta_max" in m:
+            self.scalar("Perturbation/max", m["delta_max"], step)
+            self.scalar("Perturbation/min", m["delta_min"], step)
         if "prob_to_min" in m:
             self.scalar("Probability/prob_to_min", m["prob_to_min"], step)
             self.scalar("Probability/prob_to_max", m["prob_to_max"], step)

@@ -117,11 +117,15 @@ class TestTrainStep:
             "total_loss",
             "adv_loss",
             "reg_loss",
+            "weighted_reg",
+            "l12",
             "norm_reg",
             "diff_norm_reg",
             "laplacian_norm_reg",
             "thickness",
             "roughness",
+            "delta_max",
+            "delta_min",
             "prob_to_min",
             "prob_to_max",
             "is_adversarial",
