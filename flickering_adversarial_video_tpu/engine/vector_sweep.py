@@ -69,6 +69,7 @@ class VectorSweepEngine:
         escalation: float = 1.3,
         max_chances: int = 4,
         init_scale: float = 0.005,
+        mesh=None,
     ):
         self.engine = engine
         self.slots = slots
@@ -76,7 +77,32 @@ class VectorSweepEngine:
         self.escalation = escalation
         self.max_chances = max_chances
         self.init_scale = init_scale
+        # Scale-out axis: shard the SLOT axis over the device mesh — N
+        # independent per-video attacks spread across chips with zero
+        # collectives (each slot's delta/Adam/video touch only that slot).
+        # This is the multi-chip shape of the reference's per-video sweep;
+        # its DataParallel could only split one clip's batch dim of 1.
+        self.mesh = mesh if mesh is not None else engine.mesh
+        if self.mesh is not None and slots % self.mesh.devices.size != 0:
+            raise ValueError(
+                f"slots ({slots}) must be a multiple of the mesh size "
+                f"({self.mesh.devices.size})"
+            )
         self._chunk = jax.jit(self._chunk_impl, static_argnums=(5,), donate_argnums=(0,))
+
+    def place(self, tree):
+        """Shard every slot-stacked leaf's leading axis over the mesh
+        (no-op without a mesh)."""
+        if self.mesh is None:
+            return tree
+        from ..parallel import mesh as mesh_lib
+
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, mesh_lib.data_sharding(self.mesh, jnp.ndim(x))
+            ),
+            tree,
+        )
 
     # ---------- state ----------
 
@@ -235,6 +261,7 @@ def vector_fit_many_videos(
     save: bool = True,
     max_videos: Optional[int] = None,
     track_history: bool = True,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Drop-in vectorized replacement for sweep.fit_many_videos.
 
@@ -251,6 +278,7 @@ def vector_fit_many_videos(
         escalation=escalation,
         max_chances=max_chances,
         init_scale=init_scale,
+        mesh=mesh,
     )
 
     stats = {"attacked": 0, "skipped_existing": 0, "skipped_misclassified": 0}
@@ -382,6 +410,12 @@ def vector_fit_many_videos(
             break
 
     while not all(m is None for m in slot_meta):
+        # (re)assert the slot-axis sharding — host-side .at[].set refills may
+        # have moved leaves; a device_put to the same sharding is a no-op
+        state = vse.place(state)
+        videos = vse.place(videos)
+        labels = vse.place(labels)
+        base_keys = vse.place(base_keys)
         state, ys = vse.run_chunk(state, videos, labels, base_keys, flags, chunk)
         ys = jax.tree.map(np.asarray, ys)
         done_now = np.asarray(state.done)

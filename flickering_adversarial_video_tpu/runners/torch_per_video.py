@@ -53,6 +53,7 @@ def run(
     num_classes: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
     slots: int = 1,
+    use_mesh: bool = False,
 ):
     loss_cfg = loss_cfg or {}
     apply_fn, variables = build_victim(
@@ -97,6 +98,7 @@ def run(
         # program (engine/vector_sweep.py) — same seeds, ledger and result
         # schema as the sequential path, so the two can resume each other
         from ..engine.vector_sweep import vector_fit_many_videos
+        from ..parallel.mesh import make_mesh
 
         return vector_fit_many_videos(
             engine,
@@ -108,6 +110,9 @@ def run(
             n_iter=n_iter,
             max_norm=l_inf_norm,
             max_videos=max_videos,
+            # slot axis sharded over the chips: N independent attacks spread
+            # across the mesh, zero collectives (tests/test_vector_sweep.py)
+            mesh=make_mesh() if use_mesh else None,
         )
     return fit_many_videos(
         engine,
@@ -137,6 +142,10 @@ def main(argv=None):
         "--slots", type=int, default=1,
         help="videos attacked simultaneously (vectorized sweep; 1 = sequential)",
     )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard the slot axis over all chips (slots %% n_devices == 0)",
+    )
     args = p.parse_args(argv)
     enable_compilation_cache()
     from ..utils.labels import warn_if_placeholder
@@ -154,6 +163,7 @@ def main(argv=None):
         model_dir=args.model_dir,
         num_classes=args.num_classes,
         slots=args.slots,
+        use_mesh=args.mesh,
     )
     print(out)
 

@@ -162,6 +162,58 @@ class TestEquivalenceWithSequential:
         np.testing.assert_allclose(s["final_max_norm"], v["final_max_norm"], rtol=1e-6)
 
 
+class TestMeshShardedSweep:
+    def test_mesh_matches_unsharded(self, tmp_path):
+        """Slot axis sharded over the 8-device CPU mesh: per-video results
+        must equal the unsharded run — the slots are independent, so sharding
+        them is pure scale-out with zero collectives."""
+        from flickering_adversarial_video_tpu.parallel.mesh import make_mesh
+
+        engine = make_engine()
+        batches = self_labeled_batches(engine, 3)
+        flags = RuntimeFlags(max_norm=0.2)
+        plain_dir = str(tmp_path / "plain")
+        mesh_dir = str(tmp_path / "mesh")
+        kw = dict(
+            flags=flags,
+            label_names=LABEL_NAMES,
+            slots=8,
+            chunk=5,
+            n_iter=N_ITER,
+            max_norm=0.2,
+        )
+        plain = vector_fit_many_videos(engine, batches, model_dir=plain_dir, **kw)
+        meshed = vector_fit_many_videos(
+            engine, batches, model_dir=mesh_dir, mesh=make_mesh(), **kw
+        )
+        assert plain["attacked"] == meshed["attacked"] == 3
+        for b in batches:
+            name = LABEL_NAMES[int(b["labels"][0])]
+            p = np.load(
+                result_path_for(plain_dir, b["paths"][0], name), allow_pickle=True
+            ).tolist()
+            m = np.load(
+                result_path_for(mesh_dir, b["paths"][0], name), allow_pickle=True
+            ).tolist()
+            assert p["is_adversarial"] == m["is_adversarial"]
+            assert p["escalations"] == m["escalations"]
+            np.testing.assert_allclose(
+                p["loss/total"], m["loss/total"], atol=2e-5, rtol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(p["perturbation"]),
+                np.asarray(m["perturbation"]),
+                atol=1e-4,
+            )
+
+    def test_slots_must_divide_mesh(self):
+        from flickering_adversarial_video_tpu.parallel.mesh import make_mesh
+
+        engine = make_engine()
+        with pytest.raises(ValueError, match="multiple of the mesh size"):
+            VectorSweepEngine(engine, 3, mesh=make_mesh())
+
+
 class TestSweepBookkeeping:
     def test_ledger_skip_and_misclassified(self, tmp_path):
         engine = make_engine()
