@@ -4,4 +4,8 @@ from .attack_step import (
     RuntimeFlags,
     AttackEngine,
 )
-from .vector_sweep import VectorSweepEngine, vector_fit_many_videos
+from .vector_sweep import (
+    VectorSweepEngine,
+    vector_fit_many_videos,
+    vector_single_video_attacks,
+)

@@ -70,6 +70,8 @@ class VectorSweepEngine:
         max_chances: int = 4,
         init_scale: float = 0.005,
         mesh=None,
+        stop: str = "escalate",
+        hard_cap: Optional[int] = None,
     ):
         self.engine = engine
         self.slots = slots
@@ -77,6 +79,18 @@ class VectorSweepEngine:
         self.escalation = escalation
         self.max_chances = max_chances
         self.init_scale = init_scale
+        # stop-rule family:
+        #  'escalate'  — torch per-video sweep (model.py:1056-1066): exit when
+        #                step >= n_iter AND fooled; after n_iter stuck steps
+        #                escalate max_norm, <=max_chances times;
+        #  'reference' — TF single-video driver (single_video_npy.py:313):
+        #                exit when step > max_step AND fooled, no escalation,
+        #                never give up (bounded by hard_cap, default 40x);
+        #  'early'     — first fooling exits (loops.py stop_rule='early').
+        if stop not in ("escalate", "reference", "early"):
+            raise ValueError(f"unknown stop rule {stop!r}")
+        self.stop = stop
+        self.hard_cap = hard_cap if hard_cap is not None else n_iter * 40
         # Scale-out axis: shard the SLOT axis over the device mesh — N
         # independent per-video attacks spread across chips with zero
         # collectives (each slot's delta/Adam/video touch only that slot).
@@ -107,16 +121,26 @@ class VectorSweepEngine:
     # ---------- state ----------
 
     def _fresh_slot(self, seed: int):
-        """delta U(-init_scale, init_scale) + fresh opt state for one slot
-        (the sequential re-init, sweep.py fit_single_video / model.py:946-948)."""
-        key = jax.random.key(seed)
-        u = jax.random.uniform(
-            jax.random.fold_in(key, 1),
-            self.engine.spec.shape,
-            minval=-1.0,
-            maxval=1.0,
-        )
-        delta = u * self.init_scale
+        """Fresh (delta, opt_state) for one slot.
+
+        'escalate' (torch sweep): U(-init_scale, init_scale), the sequential
+        per-video re-init (sweep.py fit_single_video / model.py:946-948).
+        'reference'/'early' (TF single-video): the spec's own init — zeros
+        for FlickerSpec (kinetics_i3d_utils.py:100), matching
+        loops.single_video_attack's engine.init_state(None)."""
+        if self.stop == "escalate":
+            key = jax.random.key(seed)
+            u = jax.random.uniform(
+                jax.random.fold_in(key, 1),
+                self.engine.spec.shape,
+                minval=-1.0,
+                maxval=1.0,
+            )
+            delta = u * self.init_scale
+        else:
+            from ..attack import perturbation as pert_lib
+
+            delta = pert_lib.init_delta(self.engine.spec, None)
         return delta, self.engine.optimizer.init(delta)
 
     def init_slots(self, seeds: List[int]) -> SlotState:
@@ -191,10 +215,17 @@ class VectorSweepEngine:
             "total_loss": total,
             "adv_loss": terms["adv_loss"],
             "reg_loss": terms["reg_loss"],
+            "norm_reg": terms["norm_reg"],
+            "diff_norm_reg": terms["diff_norm_reg"],
+            "laplacian_norm_reg": terms["laplacian_norm_reg"],
+            "prob_to_min": terms["prob_to_min"],
+            "prob_to_max": terms["prob_to_max"],
             "thickness": metrics_lib.thickness(reg_delta),
             "roughness": metrics_lib.roughness(reg_delta),
             "is_adversarial": fooled,
         }
+        if eng.track_probs:
+            metrics["probs"] = probs[0]
         return new_delta, new_opt, metrics
 
     def _chunk_impl(self, slots, videos, labels, base_keys, flags, chunk):
@@ -203,18 +234,38 @@ class VectorSweepEngine:
 
         def body(carry, _):
             s = carry
-            # top-of-loop bookkeeping, in the sequential order
-            # (sweep.py fit_single_video): exit check (while condition), then
-            # escalation, then the chances cap, then one train step
-            exit_now = (s.step >= self.n_iter) & s.fooled
-            done = s.done | exit_now
-            escalate = (s.step > self.n_iter) & ~done
-            chances = jnp.where(escalate, s.chances + 1, s.chances)
-            max_norm = jnp.where(
-                escalate, s.max_norm * self.escalation, s.max_norm
-            )
-            step = jnp.where(escalate, 0, s.step)
-            done = done | (chances >= self.max_chances)
+            # top-of-loop bookkeeping, replicating the sequential order of
+            # each stop-rule family.  s.step counts EXECUTED steps; s.fooled
+            # is the last executed step's is_adversarial.
+            if self.stop == "escalate":
+                # sweep.py fit_single_video: exit check (while condition),
+                # then escalation, then the chances cap, then one train step
+                exit_now = (s.step >= self.n_iter) & s.fooled
+                done = s.done | exit_now
+                escalate = (s.step > self.n_iter) & ~done
+                chances = jnp.where(escalate, s.chances + 1, s.chances)
+                max_norm = jnp.where(
+                    escalate, s.max_norm * self.escalation, s.max_norm
+                )
+                step = jnp.where(escalate, 0, s.step)
+                done = done | (chances >= self.max_chances)
+            else:
+                # loops.single_video_attack: the break runs POST-step on the
+                # just-executed index k = s.step - 1:
+                #   reference: k > max_step and fooled    (single_video_npy:313)
+                #   early:     fooled
+                # both bounded by the hard cap k >= cap
+                ran = s.step > 0
+                k = s.step - 1
+                if self.stop == "reference":
+                    fooled_exit = (k > self.n_iter) & s.fooled
+                else:  # early
+                    fooled_exit = s.fooled
+                exit_now = ran & (fooled_exit | (k >= self.hard_cap))
+                done = s.done | exit_now
+                chances = s.chances
+                max_norm = s.max_norm
+                step = s.step
             active = ~done
 
             keys = jax.vmap(jax.random.fold_in)(base_keys, step)
@@ -242,6 +293,186 @@ class VectorSweepEngine:
 
     def run_chunk(self, slots, videos, labels, base_keys, flags, chunk: int):
         return self._chunk(slots, videos, labels, base_keys, flags, chunk)
+
+
+def vector_single_video_attacks(
+    engine: AttackEngine,
+    clips: List[np.ndarray],
+    labels_true: List[int],
+    flags: RuntimeFlags,
+    *,
+    slots: int = 4,
+    chunk: int = 64,
+    max_step: int = 2500,
+    stop_rule: str = "reference",
+    hard_cap: Optional[int] = None,
+    target_label: Optional[int] = None,
+    track_history: bool = True,
+    mesh=None,
+    seeds: Optional[List[int]] = None,
+) -> List[Optional[Dict[str, Any]]]:
+    """Vectorized TF-world single-video attacks (config #1), N clips at once.
+
+    Same semantics and result schema as loops.single_video_attack (the
+    reference res_dict of single_video_npy.py:314-334), with clip k using
+    seed seeds[k] (default: k, the sequential runner's convention); returns
+    one result dict per clip (None where the clean model misclassifies it).
+    """
+    seeds = list(range(len(clips))) if seeds is None else seeds
+    vse = VectorSweepEngine(
+        engine,
+        slots,
+        n_iter=max_step,
+        stop=stop_rule,
+        hard_cap=hard_cap,
+        mesh=mesh,
+    )
+    n = len(clips)
+    out: List[Optional[Dict[str, Any]]] = [None] * n
+    queue = list(range(n))
+
+    def next_candidate():
+        while queue:
+            k = queue.pop(0)
+            clip = np.asarray(clips[k])
+            batch = {
+                "video": clip if clip.ndim == 5 else clip[None],
+                "labels": np.asarray(
+                    [labels_true[k] if target_label is None else target_label],
+                    np.int64,
+                ),
+            }
+            clean = np.asarray(
+                engine.forward(
+                    engine.init_state().delta,
+                    batch,
+                    flags,
+                    jax.random.key(seeds[k]),
+                    adversarial=False,
+                )
+            )
+            if int(clean.argmax()) != labels_true[k]:
+                continue  # sequential returns None; out[k] stays None
+            return k, batch, clean
+        return None
+
+    hist_scalar_keys = {
+        "total_loss": "total_loss",
+        "adv_loss": "adv_loss",
+        "reg_loss": "reg_loss",
+        "norm_reg": "norm_reg",
+        "diff_norm_reg": "diff_norm_reg",
+        "laplacian_norm_reg": "laplacian_norm_reg",
+        "prob_to_min": "prob_to_min",
+        "prob_to_max": "prob_to_max",
+    }
+
+    def empty_hist():
+        h = {k: [] for k in hist_scalar_keys}
+        h.update(thickness=[], roughness=[], perturbation=[], softmax=[])
+        return h
+
+    state = vse.init_slots(list(range(slots)))
+    slot_meta: List[Optional[Dict[str, Any]]] = [None] * slots
+    videos = None
+    labels = None
+    base_keys = jax.vmap(jax.random.key)(jnp.zeros((slots,), jnp.uint32))
+
+    first = next_candidate()
+    if first is None:
+        return out
+    k0, batch0, clean0 = first
+    v0 = np.asarray(batch0["video"])[0]
+    videos = jnp.zeros((slots,) + v0.shape, v0.dtype)
+    labels = jnp.zeros((slots,), jnp.int32)
+
+    def fill(i, state, cand):
+        nonlocal videos, labels, base_keys
+        if cand is None:
+            return vse.park_slot(state, i)
+        k, batch, clean = cand
+        videos = videos.at[i].set(np.asarray(batch["video"])[0])
+        labels = labels.at[i].set(int(np.asarray(batch["labels"])[0]))
+        base_keys = base_keys.at[i].set(jax.random.key(seeds[k]))
+        slot_meta[i] = {
+            "k": k,
+            "batch": batch,
+            "clean": clean,
+            "hist": empty_hist(),
+            "t0": time.perf_counter(),
+            "steps_run": 0,
+        }
+        # max_norm is inert in the tanh world; keep the flags value
+        return vse.refill_slot(state, i, seeds[k], float(np.asarray(flags.max_norm)))
+
+    state = fill(0, state, first)
+    for i in range(1, slots):
+        state = fill(i, state, next_candidate())
+
+    while not all(m is None for m in slot_meta):
+        state = vse.place(state)
+        videos = vse.place(videos)
+        labels = vse.place(labels)
+        base_keys = vse.place(base_keys)
+        state, ys = vse.run_chunk(state, videos, labels, base_keys, flags, chunk)
+        ys = jax.tree.map(np.asarray, ys)
+        done_now = np.asarray(state.done)
+        for i in range(slots):
+            meta = slot_meta[i]
+            if meta is None:
+                continue
+            act = ys["active"][:, i]
+            if track_history:
+                h = meta["hist"]
+                for t in np.nonzero(act)[0]:
+                    for dst, src in hist_scalar_keys.items():
+                        h[dst].append(float(ys[src][t, i]))
+                    h["thickness"].append(float(ys["thickness"][t, i]) / 2.0 * 100)
+                    h["roughness"].append(float(ys["roughness"][t, i]) / 2.0 * 100)
+                    h["perturbation"].append(ys["delta_post"][t, i])
+                    if "probs" in ys:
+                        # [1, K] like the sequential loop's batch-1 fetch
+                        h["softmax"].append(ys["probs"][t, i][None])
+            meta["steps_run"] += int(act.sum())
+            if done_now[i]:
+                k = meta["k"]
+                delta = np.asarray(state.delta)[i]
+                dt = time.perf_counter() - meta["t0"]
+                fooled = bool(np.asarray(state.fooled)[i])
+                h = meta["hist"]
+                adv_video = np.asarray(
+                    engine.adversarial_video(
+                        jnp.asarray(delta), meta["batch"], flags
+                    )
+                )
+                out[k] = {
+                    "correct_cls_id": labels_true[k],
+                    "correct_cls_prob": float(meta["clean"].max()),
+                    "softmax_init": meta["clean"],
+                    "rgb_sample": np.asarray(meta["batch"]["video"]),
+                    "total_loss_l": h["total_loss"],
+                    "adv_loss_l": h["adv_loss"],
+                    "reg_loss_l": h["reg_loss"],
+                    "norm_reg_loss_l": h["norm_reg"],
+                    "diff_norm_reg_loss_l": h["diff_norm_reg"],
+                    "perturbation": h["perturbation"],
+                    "adv_video": adv_video,
+                    "softmax": h["softmax"],
+                    # the sequential loop's `step` at break = executed - 1
+                    "total_steps": meta["steps_run"] - 1,
+                    "beta_0": float(np.asarray(flags.beta0)),
+                    "beta_1": float(np.asarray(flags.beta1)),
+                    "beta_2": float(np.asarray(flags.beta2)),
+                    "beta_3": float(np.asarray(flags.beta3)),
+                    "fatness": h["thickness"],
+                    "smoothness": h["roughness"],
+                    "is_adversarial": fooled,
+                    "final_delta": delta,
+                    "steps_per_sec": meta["steps_run"] / dt if dt > 0 else 0.0,
+                }
+                slot_meta[i] = None
+                state = fill(i, state, next_candidate())
+    return out
 
 
 def vector_fit_many_videos(

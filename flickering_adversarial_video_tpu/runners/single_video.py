@@ -22,7 +22,7 @@ from ..viz.results import save_result_pkl
 from .common import build_engine, enable_compilation_cache
 
 
-def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_videos=None, dashboard_path=None):
+def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_videos=None, dashboard_path=None, slots: int = 1, use_mesh: bool = False):
     attack_cfg = cfg.SINGLE_VIDEO_ATTACK
     engine, labels = build_engine(attack_cfg, cfg.MODEL, frames=frames, size=size)
     flags = flags_from_config(attack_cfg)
@@ -35,6 +35,12 @@ def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_v
 
     written = []
     videos = list_npy_videos(npy_path)[:max_videos]
+    slots = int(attack_cfg.get("SLOTS", slots))
+    if slots > 1:
+        return _run_vectorized(
+            engine, labels, attack_cfg, flags, videos, result_path,
+            frames=frames, slots=slots, stop_rule=stop_rule, use_mesh=use_mesh,
+        )
     for k, video_path in enumerate(videos):
         clip = load_npy_clip(video_path, frames=frames)
         correct_cls = parse_label_from_filename(video_path)
@@ -79,6 +85,57 @@ def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_v
     return written
 
 
+def _run_vectorized(
+    engine, labels, attack_cfg, flags, videos, result_path, *,
+    frames, slots, stop_rule, use_mesh,
+):
+    """N clips in flight (engine/vector_sweep.vector_single_video_attacks);
+    same per-clip seeds, stop rule, pkl schema and filenames as the
+    sequential path."""
+    from ..engine.vector_sweep import vector_single_video_attacks
+    from ..parallel.mesh import make_mesh
+
+    clips, true_labels, names, seeds = [], [], [], []
+    for k, video_path in enumerate(videos):
+        correct_cls = parse_label_from_filename(video_path)
+        if correct_cls not in labels:
+            print(f"skip {video_path}: unknown class {correct_cls!r}")
+            continue
+        clips.append(load_npy_clip(video_path, frames=frames))
+        true_labels.append(labels.index(correct_cls))
+        names.append(correct_cls)
+        seeds.append(k)  # sequential path uses the enumeration index as seed
+    target_label = None
+    if attack_cfg.TARGETED_ATTACK:
+        target_label = labels.index(attack_cfg.TARGETED_CLASS)
+    results = vector_single_video_attacks(
+        engine,
+        clips,
+        true_labels,
+        flags,
+        slots=slots,
+        max_step=int(attack_cfg.MAX_NUM_STEP),
+        stop_rule=stop_rule,
+        target_label=target_label,
+        mesh=make_mesh() if use_mesh else None,
+        seeds=seeds,
+    )
+    written = []
+    for k, (res, correct_cls) in enumerate(zip(results, names)):
+        if res is None:
+            print(f"skip video {k} ({correct_cls}): clean model misclassifies")
+            continue
+        res["correct_cls"] = correct_cls
+        path = save_result_pkl(res, result_path, correct_cls)
+        written.append(path)
+        print(
+            f"[{k}] {correct_cls}: fooled={res['is_adversarial']} "
+            f"steps={res['total_steps']} th={res['fatness'][-1]:.2f}% "
+            f"rg={res['smoothness'][-1]:.2f}% ({res['steps_per_sec']:.2f} steps/s)"
+        )
+    return written
+
+
 def main(argv=None):
     import argparse
 
@@ -92,6 +149,14 @@ def main(argv=None):
         help="'early' stops at first fooling (sweep/rehearsal throughput)",
     )
     p.add_argument("--max-videos", type=int, default=None)
+    p.add_argument(
+        "--slots", type=int, default=1,
+        help="clips attacked simultaneously (vectorized; also YAML SLOTS)",
+    )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard the slot axis over all chips (slots %% n_devices == 0)",
+    )
     args = p.parse_args(argv)
     enable_compilation_cache()
     cfg = load_config(args.config)
@@ -101,6 +166,8 @@ def main(argv=None):
         size=args.size,
         stop_rule=args.stop_rule,
         max_videos=args.max_videos,
+        slots=args.slots,
+        use_mesh=args.mesh,
     )
 
 

@@ -97,6 +97,48 @@ class TestSingleVideoRunner:
         # filename metric encoding
         assert "_th_" in written[0] and "%_rg_" in written[0]
 
+    def test_vectorized_slots_matches_sequential(
+        self, rng, tiny_victim, tmp_path
+    ):
+        """--slots N drives the same clips through the vectorized sweep and
+        must reproduce the sequential run's pkl contents."""
+        from flickering_adversarial_video_tpu.runners import single_video
+
+        labels = kinetics400_labels()
+        npy_dir = tmp_path / "npy"
+        npy_dir.mkdir()
+        clips = _self_labeled_clips(rng, tiny_victim, 2)
+        for i, (clip, label) in enumerate(clips):
+            name = f"rgb_vid{i}@{labels[label].replace(' ', '_')}.npy"
+            f32 = clip.astype(np.float32) / 128.0 - 1.0
+            np.save(npy_dir / name, f32[None])
+
+        cfg = default_config()
+        cfg.SINGLE_VIDEO_ATTACK.NPY_PATH = str(npy_dir)
+        cfg.SINGLE_VIDEO_ATTACK.MAX_NUM_STEP = 5
+        cfg.SINGLE_VIDEO_ATTACK.COMPUTE_DTYPE = "float32"
+
+        cfg.SINGLE_VIDEO_ATTACK.PKL_RESULT_PATH = str(tmp_path / "seq")
+        seq = single_video.run(cfg, frames=FRAMES)
+        cfg.SINGLE_VIDEO_ATTACK.PKL_RESULT_PATH = str(tmp_path / "vec")
+        vec = single_video.run(cfg, frames=FRAMES, slots=2)
+        assert len(seq) == len(vec) >= 1
+        for sp, vp in zip(sorted(seq), sorted(vec)):
+            with open(sp, "rb") as f:
+                s = pickle.load(f)
+            with open(vp, "rb") as f:
+                v = pickle.load(f)
+            assert s["total_steps"] == v["total_steps"]
+            assert s["correct_cls"] == v["correct_cls"]
+            np.testing.assert_allclose(
+                s["total_loss_l"], v["total_loss_l"], atol=2e-5, rtol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(s["final_delta"]),
+                np.asarray(v["final_delta"]),
+                atol=1e-4,
+            )
+
     def test_skips_misclassified(self, rng, tiny_victim, tmp_path):
         from flickering_adversarial_video_tpu.runners import single_video
 

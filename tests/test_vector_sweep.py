@@ -162,6 +162,112 @@ class TestEquivalenceWithSequential:
         np.testing.assert_allclose(s["final_max_norm"], v["final_max_norm"], rtol=1e-6)
 
 
+class TestTFWorldSingleVideo:
+    """vector_single_video_attacks vs loops.single_video_attack — the TF
+    single-video stop rule (`step > max_step AND fooled`, zero-init delta,
+    richer pkl-schema history) must vectorize exactly too."""
+
+    @staticmethod
+    def make_tanh_engine():
+        from flickering_adversarial_video_tpu.attack import FlickerSpec
+
+        w = jax.random.normal(jax.random.key(5), (3, 40)) * 3.0
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2, 3)) @ variables["w"]
+
+        spec = FlickerSpec(frames=FRAMES)
+        cfg = AttackConfig(norm_world="tanh")
+        return AttackEngine(apply_fn, {"w": w}, spec, cfg, track_probs=True)
+
+    def test_matches_sequential_single_video(self):
+        from flickering_adversarial_video_tpu.engine.loops import (
+            single_video_attack,
+        )
+        from flickering_adversarial_video_tpu.engine.vector_sweep import (
+            vector_single_video_attacks,
+        )
+
+        engine = self.make_tanh_engine()
+        rng = np.random.default_rng(23)
+        clips, labels = [], []
+        zero = engine.init_state().delta
+        for _ in range(3):
+            clip = rng.uniform(-1, 1, (FRAMES, SIZE, SIZE, 3)).astype(np.float32)
+            probs = engine.forward(
+                zero,
+                {"video": clip[None], "labels": np.zeros((1,), np.int64)},
+                RuntimeFlags(),
+                jax.random.key(0),
+                adversarial=False,
+            )
+            clips.append(clip)
+            labels.append(int(np.argmax(np.asarray(probs))))
+        flags = RuntimeFlags()
+        max_step = 5
+
+        seq = [
+            single_video_attack(
+                engine, c, l, flags, max_step=max_step, seed=k
+            )
+            for k, (c, l) in enumerate(zip(clips, labels))
+        ]
+        vec = vector_single_video_attacks(
+            engine, clips, labels, flags, slots=2, chunk=4, max_step=max_step
+        )
+        assert all(r is not None for r in seq)
+        for s, v in zip(seq, vec):
+            assert v is not None
+            assert s["total_steps"] == v["total_steps"]
+            assert s["is_adversarial"] == v["is_adversarial"]
+            assert len(s["total_loss_l"]) == len(v["total_loss_l"])
+            for key in ("total_loss_l", "adv_loss_l", "reg_loss_l",
+                        "norm_reg_loss_l", "diff_norm_reg_loss_l",
+                        "fatness", "smoothness"):
+                np.testing.assert_allclose(
+                    s[key], v[key], atol=2e-5, rtol=1e-4, err_msg=key
+                )
+            np.testing.assert_allclose(
+                np.asarray(s["perturbation"]),
+                np.asarray(v["perturbation"]),
+                atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(s["softmax"]), np.asarray(v["softmax"]),
+                atol=2e-5,
+            )
+            np.testing.assert_allclose(
+                s["adv_video"], v["adv_video"], atol=1e-4
+            )
+            np.testing.assert_allclose(
+                s["final_delta"], v["final_delta"], atol=1e-4
+            )
+
+    def test_misclassified_slot_is_none(self):
+        from flickering_adversarial_video_tpu.engine.vector_sweep import (
+            vector_single_video_attacks,
+        )
+
+        engine = self.make_tanh_engine()
+        rng = np.random.default_rng(29)
+        clip = rng.uniform(-1, 1, (FRAMES, SIZE, SIZE, 3)).astype(np.float32)
+        probs = engine.forward(
+            engine.init_state().delta,
+            {"video": clip[None], "labels": np.zeros((1,), np.int64)},
+            RuntimeFlags(),
+            jax.random.key(0),
+            adversarial=False,
+        )
+        good = int(np.argmax(np.asarray(probs)))
+        wrong = (good + 1) % 40
+        out = vector_single_video_attacks(
+            engine, [clip, clip], [wrong, good], RuntimeFlags(),
+            slots=2, chunk=3, max_step=2,
+        )
+        assert out[0] is None
+        assert out[1] is not None and out[1]["correct_cls_id"] == good
+
+
 class TestMeshShardedSweep:
     def test_mesh_matches_unsharded(self, tmp_path):
         """Slot axis sharded over the 8-device CPU mesh: per-video results
