@@ -181,8 +181,10 @@ def tvl1_flow(
 ) -> jax.Array:
     """Dense TV-L1 flow from gray image i0 to i1; returns [H, W, 2] (dx, dy).
 
-    Input range is normalized internally to [0, 255] like OpenCV (lambda is
-    calibrated for that scale); pass float or uint8 gray images.
+    Inputs are expected on the 0..255 gray scale (uint8 or float) — the
+    default `lam` is calibrated for that scale and the values are only CAST,
+    never rescaled.  For [0, 1]-scaled images either multiply by 255 first or
+    pass lam*255 (the data term scales linearly with image magnitude).
     """
     i0 = i0.astype(jnp.float32)
     i1 = i1.astype(jnp.float32)

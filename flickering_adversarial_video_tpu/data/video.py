@@ -13,8 +13,10 @@ postprocessing (clip +-20 px, /20, center-crop), computed by the JAX TV-L1
 solver in optical_flow.py instead of cv2's contrib DualTVL1.  Two documented
 deviations: flow pairs are consecutive PROCESSED frames (the reference seeds
 the first pair with the raw first video frame read before its loop), and the
-flow stack has T-1 entries for T kept frames (the reference emits T flows
-and never truncates them to n_steps — a quirk, not a contract).
+flow stack has T-1 entries aligned with the T KEPT frames — flow[t] is the
+motion clip[t] -> clip[t+1] (the reference emits T flows and never truncates
+them to n_steps, leaving them misaligned with the truncated clip — a quirk,
+not a contract).
 
 cv2 is an optional host dependency; uint8 output variants exist for the
 tfrecord writers (kinetics_to_tf_record_uint8.py keeps raw uint8).
@@ -117,6 +119,10 @@ def video_to_frames(
     clip = np.asarray(frames)
     if frame_num >= n_steps:
         clip = clip[-n_steps:]
+        # keep the gray frames aligned with the kept clip frames so flow[t]
+        # pairs with clip[t..t+1] (deliberate fix of the reference's quirk of
+        # returning untruncated flow; module docstring)
+        grays = grays[-n_steps:]
     if flow:
         flow_arr = frames_to_flow(np.asarray(grays, np.float32), crop_size)
         return clip[np.newaxis], flow_arr[np.newaxis]

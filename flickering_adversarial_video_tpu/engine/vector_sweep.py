@@ -556,16 +556,7 @@ def vector_fit_many_videos(
             return seed, batch, dest, clean
 
     # slot-side host bookkeeping
-    video_shape = None
     slot_meta: List[Optional[Dict[str, Any]]] = [None] * slots
-    hist_keys = (
-        "total_loss",
-        "adv_loss",
-        "reg_loss",
-        "thickness",
-        "roughness",
-        "is_adversarial",
-    )
 
     def empty_hist():
         return {
@@ -583,18 +574,17 @@ def vector_fit_many_videos(
     labels = None
     base_keys = jax.vmap(jax.random.key)(jnp.zeros((slots,), jnp.uint32))
 
-    def fill(i, state):
+    def fill(i, state, cand):
         nonlocal videos, labels, base_keys
-        cand = next_candidate()
         if cand is None:
-            return vse.park_slot(state, i), False
+            return vse.park_slot(state, i)
         seed, batch, dest, clean = cand
         attack_labels = np.asarray(batch["labels"])
         if engine.config.targeted and engine.config.target_class is not None:
             attack_labels = np.full_like(attack_labels, engine.config.target_class)
         v = np.asarray(batch["video"])[0]
-        videos = videos.at[i].set(v) if videos is not None else None
-        labels = labels.at[i].set(attack_labels[0]) if labels is not None else None
+        videos = videos.at[i].set(v)
+        labels = labels.at[i].set(attack_labels[0])
         base_keys = base_keys.at[i].set(jax.random.key(seed))
         slot_meta[i] = {
             "seed": seed,
@@ -604,41 +594,20 @@ def vector_fit_many_videos(
             "hist": empty_hist(),
             "t0": time.perf_counter(),
             "steps_run": 0,
-            "_video": v,
         }
-        return vse.refill_slot(state, i, seed, max_norm), True
+        return vse.refill_slot(state, i, seed, max_norm)
 
     # prime the slots (allocating the stacked video/label buffers lazily from
     # the first candidate's shape)
     first = next_candidate()
     if first is None:
         return {**stats, "results": results}
-    seed0, batch0, dest0, clean0 = first
-    v0 = np.asarray(batch0["video"])[0]
-    videos = jnp.zeros((slots,) + v0.shape, batch0["video"].dtype)
+    v0 = np.asarray(first[1]["video"])[0]
+    videos = jnp.zeros((slots,) + v0.shape, first[1]["video"].dtype)
     labels = jnp.zeros((slots,), jnp.int32)
-    # slot 0 from the already-pulled candidate
-    attack_labels0 = np.asarray(batch0["labels"])
-    if engine.config.targeted and engine.config.target_class is not None:
-        attack_labels0 = np.full_like(attack_labels0, engine.config.target_class)
-    videos = videos.at[0].set(v0)
-    labels = labels.at[0].set(attack_labels0[0])
-    base_keys = base_keys.at[0].set(jax.random.key(seed0))
-    state = vse.refill_slot(state, 0, seed0, max_norm)
-    slot_meta[0] = {
-        "seed": seed0,
-        "dest": dest0,
-        "label": np.asarray(batch0["labels"]),
-        "clean": clean0,
-        "hist": empty_hist(),
-        "t0": time.perf_counter(),
-        "steps_run": 0,
-        "_video": v0,
-    }
+    state = fill(0, state, first)
     for i in range(1, slots):
-        state, ok = fill(i, state)
-        if not ok:
-            break
+        state = fill(i, state, next_candidate())
 
     while not all(m is None for m in slot_meta):
         # (re)assert the slot-axis sharding — host-side .at[].set refills may
@@ -688,9 +657,14 @@ def vector_fit_many_videos(
                     result["perturbation"] = [final_pert]
                 if save:
                     np.save(meta["dest"], result)
-                results.append((meta["dest"], fooled))
+                # ledger entry like the sequential sweep: any() over the
+                # result's is_adversarial history (a transiently-fooled clip
+                # that un-fools before termination still counts)
+                results.append(
+                    (meta["dest"], bool(np.asarray(result["is_adversarial"]).any()))
+                )
                 stats["attacked"] += 1
                 slot_meta[i] = None
-                state, ok = fill(i, state)
+                state = fill(i, state, next_candidate())
 
     return {**stats, "results": results}

@@ -35,8 +35,15 @@ def run(cfg, *, frames: int = 90, size=None, stop_rule: str = "reference", max_v
 
     written = []
     videos = list_npy_videos(npy_path)[:max_videos]
-    slots = int(attack_cfg.get("SLOTS", slots))
+    # an explicit --slots beats the YAML key; the CLI default (1) defers to it
+    if slots == 1:
+        slots = int(attack_cfg.get("SLOTS", 1))
     if slots > 1:
+        if dashboard_path:
+            print(
+                "[warn] live dashboard is per-clip and not supported with "
+                "SLOTS > 1; continuing without it"
+            )
         return _run_vectorized(
             engine, labels, attack_cfg, flags, videos, result_path,
             frames=frames, slots=slots, stop_rule=stop_rule, use_mesh=use_mesh,

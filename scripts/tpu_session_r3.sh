@@ -93,4 +93,16 @@ timeout 4800 python bench.py > $OUT/40_full_default.json 2>$OUT/40_full.err
 timeout 3000 python scripts/profile_step.py --prepacked --steps 10 \
   --outdir /tmp/xtrace_r3 > $OUT/50_xplane.log 2>&1
 
-echo DONE > $OUT/99_done
+# mark done ONLY if the primary A/B actually produced parseable benchmarks —
+# a tunnel flap mid-session must leave the watcher retrying, not satisfied
+if python - <<'EOF'
+import json, sys
+for f in ("/tmp/tpu_r3/10_default.json", "/tmp/tpu_r3/11_outpack.json"):
+    json.load(open(f))
+EOF
+then
+  echo DONE > $OUT/99_done
+else
+  echo "session incomplete (benchmarks missing); leaving 99_done unset" >&2
+  exit 1
+fi

@@ -133,3 +133,28 @@ class TestVideoFlowBranch:
         assert clip.shape[0] == 1 and clip.shape[2:] == (32, 32, 3)
         assert flow.shape == (1, clip.shape[1] - 1, 32, 32, 2)
         assert np.isfinite(flow).all()
+
+    @pytest.mark.skipif(not _HAS_CV2, reason="cv2 unavailable")
+    def test_flow_truncates_with_clip(self, rng, tmp_path):
+        """When the clip keeps only the LAST n_steps frames, the gray stack
+        must be truncated identically so flow[t] pairs with clip[t..t+1]."""
+        from flickering_adversarial_video_tpu.data.video import video_to_frames
+
+        path = str(tmp_path / "long.avi")
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (48, 48)
+        )
+        if not writer.isOpened():  # pragma: no cover
+            pytest.skip("no MJPG writer in this cv2 build")
+        base = _smooth_image(rng, 64, 64)
+        for t in range(10):
+            frame = base[8 : 8 + 48, (t % 8) : (t % 8) + 48]
+            writer.write(cv2.cvtColor(frame.astype(np.uint8), cv2.COLOR_GRAY2BGR))
+        writer.release()
+        out = video_to_frames(
+            path, resize_height=48, crop_size=32, n_steps=4, flow=True
+        )
+        assert out is not None
+        clip, flow = out
+        assert clip.shape[1] == 4
+        assert flow.shape[1] == clip.shape[1] - 1
