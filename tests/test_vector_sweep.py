@@ -268,6 +268,63 @@ class TestTFWorldSingleVideo:
         assert out[1] is not None and out[1]["correct_cls_id"] == good
 
 
+class TestPackedPathVectorizes:
+    def test_i3d_packed_apply_under_vmap(self):
+        """The packed-space custom-VJP apply (ops/packed_apply.py) must trace
+        and run under the vmapped vector sweep — the TPU session's vector
+        bench (scripts/tpu_session_r3.sh step 3a) relies on it.  Values must
+        match the generic uint8 path per slot."""
+        from flickering_adversarial_video_tpu.attack import FlickerSpec
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+
+        frames, size, slots = 8, 32, 2
+        model = InceptionI3D(num_classes=400, compute_dtype=jnp.float32)
+        packed = InceptionI3D(
+            num_classes=400, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        variables = init_i3d_params(jax.random.key(0), frames=frames, size=size)
+        base = dict(
+            spec=FlickerSpec(frames=frames),
+            config=AttackConfig(),
+            track_probs=False,
+        )
+        eng_packed = AttackEngine(
+            lambda v, x: model.apply(v, x)[0],
+            variables,
+            base["spec"],
+            base["config"],
+            track_probs=False,
+            apply_packed_fn=lambda v, xp: packed.apply(v, xp)[0],
+        )
+        eng_plain = AttackEngine(
+            lambda v, x: model.apply(v, x)[0],
+            variables,
+            base["spec"],
+            base["config"],
+            track_probs=False,
+        )
+        rng = np.random.default_rng(0)
+        videos = jnp.asarray(
+            rng.integers(0, 255, (slots, frames, size, size, 3), dtype=np.uint8)
+        )
+        labels = jnp.asarray(rng.integers(0, 400, (slots,), dtype=np.int32))
+        keys = jax.vmap(jax.random.key)(jnp.arange(slots, dtype=jnp.uint32))
+        flags = RuntimeFlags(max_norm=0.4)
+        outs = []
+        for eng in (eng_packed, eng_plain):
+            vse = VectorSweepEngine(eng, slots, n_iter=10**9)
+            state = vse.init_slots(list(range(slots)))
+            for i in range(slots):
+                state = vse.refill_slot(state, i, i, 0.4)
+            state, ys = vse.run_chunk(state, videos, labels, keys, flags, 2)
+            outs.append((np.asarray(state.delta), np.asarray(ys["total_loss"])))
+        np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+
+
 class TestMeshShardedSweep:
     def test_mesh_matches_unsharded(self, tmp_path):
         """Slot axis sharded over the 8-device CPU mesh: per-video results
