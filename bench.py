@@ -396,6 +396,41 @@ def main():
         )
     except Exception as e:  # secondary metric must not sink the headline
         result["single_video_T90_B1_error"] = repr(e)[:120]
+    # Vectorized per-video sweep (engine/vector_sweep.py): slots x T90 clips
+    # in flight, each with its own delta/Adam/stop-rule.  clip-steps/s vs the
+    # sequential single_video rate above quantifies the continuous-batching
+    # win (expected ~3x at slots>=4 from the B=1-vs-B=8 device-time profile).
+    try:
+        from flickering_adversarial_video_tpu.engine import RuntimeFlags
+        from flickering_adversarial_video_tpu.engine.vector_sweep import (
+            VectorSweepEngine,
+        )
+
+        slots, vchunk, vtrials = 4, 30, 2
+        vs_engine = build_i3d_geometry_engine(variables, jnp.bfloat16, frames=90)
+        vse = VectorSweepEngine(vs_engine, slots, n_iter=10**9)
+        vvideos = jnp.asarray(
+            rng.integers(0, 255, (slots, 90, SIZE, SIZE, 3), dtype=np.uint8)
+        )
+        vlabels = jnp.asarray(rng.integers(0, 400, (slots,), dtype=np.int32))
+        vkeys = jax.vmap(jax.random.key)(jnp.arange(slots, dtype=jnp.uint32))
+        vstate = vse.init_slots(list(range(slots)))
+        for i in range(slots):
+            vstate = vse.refill_slot(vstate, i, i, 0.4)
+        vflags = RuntimeFlags(max_norm=0.4)
+        vstate, _ = vse.run_chunk(vstate, vvideos, vlabels, vkeys, vflags, vchunk)
+        jax.block_until_ready(vstate.delta)
+        t0 = time.perf_counter()
+        for _ in range(vtrials):
+            vstate, _ = vse.run_chunk(
+                vstate, vvideos, vlabels, vkeys, vflags, vchunk
+            )
+        jax.block_until_ready(vstate.delta)
+        result["vector_sweep4_T90_clip_steps_per_s"] = round(
+            slots * vchunk * vtrials / (time.perf_counter() - t0), 3
+        )
+    except Exception as e:
+        result["vector_sweep4_T90_error"] = repr(e)[:120]
     try:
         r2_engine = build_r2plus1d_engine(jnp.bfloat16)
         r2_batch = {
