@@ -13,6 +13,10 @@ python -c "import jax; print(jax.devices())" > $OUT/00_devices.log 2>&1 || exit 
 BENCH_HEADLINE_ONLY=1 timeout 3000 python bench.py > $OUT/10_default.json 2>$OUT/10_default.err
 BENCH_HEADLINE_ONLY=1 FLICKER_STEM_OUTPACK=1 timeout 3000 python bench.py > $OUT/11_outpack.json 2>$OUT/11_outpack.err
 
+# 1b) pool backward reuse-vs-recompute (FLICKER_POOL_SAVE_Y): carry the
+# forward's pooled value as a residual, skip the bwd pool_T recompute
+BENCH_HEADLINE_ONLY=1 FLICKER_POOL_SAVE_Y=1 timeout 3000 python bench.py > $OUT/12_save_y.json 2>$OUT/12_save_y.err
+
 # 2) region microbench (attribution)
 timeout 2400 python scripts/ab_stem_pool.py > $OUT/20_region.log 2>&1
 

@@ -58,6 +58,25 @@ class TestMaxPoolSame:
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
     @pytest.mark.parametrize("window,strides", GEOMETRIES)
+    def test_save_y_residual_exact(self, rng, window, strides, monkeypatch):
+        """FLICKER_POOL_SAVE_Y reuses the forward's pooled value in the
+        backward instead of recomputing pool_T — bit-identical gradients
+        (max is exactly separable in any axis order), incl. on ties."""
+        monkeypatch.setenv("FLICKER_POOL_SAVE_Y", "1")
+        x = jnp.asarray(
+            (rng.integers(0, 3, (2, 6, 9, 9, 4)) * 0.5).astype(np.float32)
+        )
+
+        # fresh trace: the gate is read at trace time inside the custom VJP
+        def pool(z, w, s):
+            return max_pool_same(z, w, s, force_custom=True)
+
+        got = np.asarray(_grads(pool, x, window, strides))
+        ref = np.asarray(_grads(_xla_pool, x, window, strides))
+        np.testing.assert_array_equal(got != 0, ref != 0)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("window,strides", GEOMETRIES)
     def test_grad_matches_xla_with_ties(self, rng, window, strides):
         # post-ReLU-like data: values quantized to {0, 0.5, 1.0} => windows
         # full of exact ties; the first-match rule must agree with
