@@ -79,6 +79,39 @@ def test_single_video_attack_fools_i3d(rng, i3d_engine):
     assert len(res["total_loss_l"]) == res["total_steps"] + 1
 
 
+def test_vectorized_attack_fools_i3d(rng, i3d_engine):
+    """The vectorized sweep must also actually FOOL the convnet — two clips
+    in flight, 'early' stop, both adversarial within the cap."""
+    from flickering_adversarial_video_tpu.engine.vector_sweep import (
+        vector_single_video_attacks,
+    )
+
+    engine = i3d_engine
+    flags = RuntimeFlags(learning_rate=2e-2, beta0=0.1)
+    clips, labels = [], []
+    for _ in range(2):
+        clip = rng.uniform(-1, 1, (FRAMES, SIZE, SIZE, 3)).astype(np.float32)
+        probs = engine.forward(
+            engine.init_state().delta,
+            {"video": jnp.asarray(clip[None]), "labels": jnp.zeros((1,), jnp.int32)},
+            flags,
+            jax.random.key(0),
+            adversarial=False,
+        )
+        clips.append(clip)
+        labels.append(int(np.asarray(probs).argmax()))
+    out = vector_single_video_attacks(
+        engine, clips, labels, flags,
+        slots=2, chunk=25, max_step=250, stop_rule="early", hard_cap=250,
+    )
+    for res in out:
+        assert res is not None
+        assert res["is_adversarial"], "vectorized attack failed to fool I3D"
+        adv = np.asarray(res["adv_video"])
+        assert adv.min() >= -1.0 - 1e-5 and adv.max() <= 1.0 + 1e-5
+        assert len(res["total_loss_l"]) == res["total_steps"] + 1
+
+
 def test_wrong_label_skips(rng, i3d_engine):
     engine = i3d_engine
     clip = rng.uniform(-1, 1, (1, FRAMES, SIZE, SIZE, 3)).astype(np.float32)
