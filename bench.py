@@ -282,6 +282,22 @@ def time_reference_protocol(model, variables, batch, feed_per_step=False):
 
 
 def main():
+    # Secondary metrics (geometry variants, staged-gate A/Bs, vector sweep)
+    # each cost a compile — minutes each when the persistent cache is cold on
+    # the remote-compile service.  The headline must never be lost to a
+    # driver-side timeout while a secondary compiles, so once the elapsed
+    # wall clock passes this budget the remaining secondaries are skipped
+    # (recorded in the JSON) and the result prints with what was measured.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", 1800))
+    skipped = []
+
+    def over_budget(tag):
+        if time.perf_counter() - t_start > budget_s:
+            skipped.append(tag)
+            return True
+        return False
+
     rng = np.random.default_rng(0)
     batch = {
         "video": rng.integers(0, 255, (BATCH, FRAMES, SIZE, SIZE, 3), dtype=np.uint8),
@@ -371,7 +387,11 @@ def main():
     # production-default configuration — flipping a kernel default on an
     # unmeasured gate would be dishonest; this field is the evidence for (or
     # against) the flip.
-    if prepacked is not None and os.environ.get("FLICKER_STEM_OUTPACK", "") != "1":
+    if (
+        prepacked is not None
+        and os.environ.get("FLICKER_STEM_OUTPACK", "") != "1"
+        and not over_budget("stem_outpack")
+    ):
         try:
             os.environ["FLICKER_STEM_OUTPACK"] = "1"
             ab_engine, _, _ = build_engine(jnp.bfloat16)
@@ -383,6 +403,8 @@ def main():
         finally:
             os.environ.pop("FLICKER_STEM_OUTPACK", None)
     try:
+        if over_budget("single_video"):
+            raise TimeoutError("bench time budget")
         sv_engine = build_i3d_geometry_engine(variables, jnp.bfloat16, frames=90)
         sv_batch = {
             "video": rng.integers(0, 255, (1, 90, SIZE, SIZE, 3), dtype=np.uint8),
@@ -401,6 +423,8 @@ def main():
     # sequential single_video rate above quantifies the continuous-batching
     # win (expected ~3x at slots>=4 from the B=1-vs-B=8 device-time profile).
     try:
+        if over_budget("vector_sweep"):
+            raise TimeoutError("bench time budget")
         from flickering_adversarial_video_tpu.engine import RuntimeFlags
         from flickering_adversarial_video_tpu.engine.vector_sweep import (
             VectorSweepEngine,
@@ -432,6 +456,8 @@ def main():
     except Exception as e:
         result["vector_sweep4_T90_error"] = repr(e)[:120]
     try:
+        if over_budget("r2plus1d"):
+            raise TimeoutError("bench time budget")
         r2_engine = build_r2plus1d_engine(jnp.bfloat16)
         r2_batch = {
             "video": rng.integers(0, 255, (16, 16, 112, 112, 3), dtype=np.uint8),
@@ -442,7 +468,9 @@ def main():
         )
         # second staged round-3 gate: (kT,kH,3) outpack backward for the
         # r2plus1d layer1 convs (ops/conv_wpack.py conv_s1_outpack)
-        if os.environ.get("FLICKER_RESNET_OUTPACK", "") != "1":
+        if os.environ.get("FLICKER_RESNET_OUTPACK", "") != "1" and not over_budget(
+            "r2plus1d_outpack"
+        ):
             try:
                 os.environ["FLICKER_RESNET_OUTPACK"] = "1"
                 r2_ab = build_r2plus1d_engine(jnp.bfloat16)
@@ -464,6 +492,8 @@ def main():
         )
         result["baseline_with_per_step_feed_steps_per_s"] = round(baseline_feed, 3)
 
+    if skipped:
+        result["secondaries_skipped_time_budget"] = skipped
     print(json.dumps(result))
 
 
