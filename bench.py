@@ -379,29 +379,14 @@ def main():
         print(json.dumps(result))
         return
 
-    # Staged-variant A/B (round 3): the fused stem+MaxPool2a op
-    # (FLICKER_STEM_OUTPACK, ops/stem_pool.py) was built and exactness-tested
-    # during the tunnel outage but never measured on the chip.  Measure it
-    # here so the end-of-round bench run records the A/B even if no
-    # interactive session ever reached the hardware.  The headline stays the
-    # production-default configuration — flipping a kernel default on an
-    # unmeasured gate would be dishonest; this field is the evidence for (or
-    # against) the flip.
-    if (
-        prepacked is not None
-        and os.environ.get("FLICKER_STEM_OUTPACK", "") != "1"
-        and not over_budget("stem_outpack")
-    ):
-        try:
-            os.environ["FLICKER_STEM_OUTPACK"] = "1"
-            ab_engine, _, _ = build_engine(jnp.bfloat16)
-            result["stem_outpack_steps_per_s"] = round(
-                time_optimized(ab_engine, packed_batch), 3
-            )
-        except Exception as e:
-            result["stem_outpack_error"] = repr(e)[:120]
-        finally:
-            os.environ.pop("FLICKER_STEM_OUTPACK", None)
+    # Round-3 staged-gate A/Bs are settled (measured on-chip 2026-08-18,
+    # PERF.md round-3 table): FLICKER_STEM_OUTPACK at B=8 lost (11.85 ->
+    # 8.22 steps/s) and stays off above batch 1; FLICKER_POOL_SAVE_Y won
+    # (11.845 -> 11.949) and FLICKER_RESNET_OUTPACK won (22.83 -> 23.53) —
+    # both are now the defaults the headline measures.  The B=1 single-video
+    # geometry below picks up its measured winner (fused stem + force-custom
+    # strided pools, 29.47 -> 31.71) automatically via the batch-aware
+    # default in models/i3d.py.
     try:
         if over_budget("single_video"):
             raise TimeoutError("bench time budget")
@@ -466,21 +451,6 @@ def main():
         result["r2plus1d_18_T16_B16_steps_per_s"] = round(
             time_optimized(r2_engine, r2_batch, steps=30), 3
         )
-        # second staged round-3 gate: (kT,kH,3) outpack backward for the
-        # r2plus1d layer1 convs (ops/conv_wpack.py conv_s1_outpack)
-        if os.environ.get("FLICKER_RESNET_OUTPACK", "") != "1" and not over_budget(
-            "r2plus1d_outpack"
-        ):
-            try:
-                os.environ["FLICKER_RESNET_OUTPACK"] = "1"
-                r2_ab = build_r2plus1d_engine(jnp.bfloat16)
-                result["r2plus1d_outpack_steps_per_s"] = round(
-                    time_optimized(r2_ab, r2_batch, steps=30), 3
-                )
-            except Exception as e:
-                result["r2plus1d_outpack_error"] = repr(e)[:120]
-            finally:
-                os.environ.pop("FLICKER_RESNET_OUTPACK", None)
     except Exception as e:
         result["r2plus1d_18_T16_B16_error"] = repr(e)[:120]
     # The reference's ACTUAL per-sess.run host->device f32 feed costs ~10 min

@@ -354,7 +354,7 @@ class Unit3D(nn.Module):
 
 def _max_pool_same(
     x: jax.Array, window: Sequence[int], strides: Sequence[int],
-    naive: bool = False,
+    naive: bool = False, force_custom: bool = False,
 ) -> jax.Array:
     """tf.nn.max_pool3d(..., padding='SAME') equivalent over NDHWC.
 
@@ -376,7 +376,7 @@ def _max_pool_same(
         )
     from ..ops.maxpool import max_pool_same
 
-    return max_pool_same(x, tuple(window), tuple(strides))
+    return max_pool_same(x, tuple(window), tuple(strides), force_custom=force_custom)
 
 
 class InceptionMixed(nn.Module):
@@ -447,19 +447,32 @@ class InceptionI3D(nn.Module):
             end_points[name] = x
             return self.final_endpoint == name
 
-        # Fused stem+pool experiment (FLICKER_STEM_OUTPACK=1): the stem op
-        # emits the MaxPool3d_2a_3x3 value directly (ops/stem_pool.py), so
-        # the Conv3d_1a_7x7 endpoint is never materialized — only eligible
-        # when nothing downstream asks for it.
+        # Fused stem+pool (FLICKER_STEM_OUTPACK): the stem op emits the
+        # MaxPool3d_2a_3x3 value directly (ops/stem_pool.py), so the
+        # Conv3d_1a_7x7 endpoint is never materialized — only eligible when
+        # nothing downstream asks for it.  Round-3 chip A/B: a clear LOSS at
+        # B=8 (11.85 -> 8.22 steps/s; the outpacked stem conv adds 24 GB of
+        # HBM traffic) but, COMBINED with force-custom strided pools, the
+        # single-video B=1 winner (29.47 -> 31.71 steps/s, the select-and-
+        # scatter collapse at B=1 is worse than the outpack overhead).  So
+        # the default is batch-aware: ON at B==1, OFF otherwise; env "1"/"0"
+        # force either way.
+        stem_env = os.environ.get("FLICKER_STEM_OUTPACK", "")
         fuse_pool2a = (
             self.prepacked_stem_input
             and not self.skip_stem
-            and os.environ.get("FLICKER_STEM_OUTPACK", "") == "1"
+            and (stem_env == "1" or (stem_env != "0" and x.shape[0] == 1))
             and self.final_endpoint != "Conv3d_1a_7x7"
             and not self.naive_pools
             and x.shape[2] % 2 == 0
             and x.shape[3] % 2 == 0
         )
+        # Second half of the B=1 winning combo: route the strided pools
+        # (3a/4a/5a; 2a is gone inside the fused stem) through the custom
+        # separable backward instead of XLA's select-and-scatter, which
+        # collapses to 17 GiB/s at B=1 (PERF.md round 2).  Only with the
+        # fused stem — force-custom ALONE measured 27.36 steps/s (a loss).
+        force_custom_strided = fuse_pool2a and x.shape[0] == 1
         if self.skip_stem:
             pass  # x IS the stem output; fall through to the endpoint check
         elif fuse_pool2a:
@@ -494,7 +507,10 @@ class InceptionI3D(nn.Module):
         x = Unit3D(192, (3, 3, 3), compute_dtype=dt, name="Conv3d_2c_3x3")(x)
         if done("Conv3d_2c_3x3"):
             return x, end_points
-        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2), naive=self.naive_pools)
+        x = _max_pool_same(
+            x, (1, 3, 3), (1, 2, 2),
+            naive=self.naive_pools, force_custom=force_custom_strided,
+        )
         if done("MaxPool3d_3a_3x3"):
             return x, end_points
 
@@ -509,7 +525,10 @@ class InceptionI3D(nn.Module):
             if done(name):
                 return x, end_points
 
-        x = _max_pool_same(x, (3, 3, 3), (2, 2, 2), naive=self.naive_pools)
+        x = _max_pool_same(
+            x, (3, 3, 3), (2, 2, 2),
+            naive=self.naive_pools, force_custom=force_custom_strided,
+        )
         if done("MaxPool3d_4a_3x3"):
             return x, end_points
 
@@ -524,7 +543,10 @@ class InceptionI3D(nn.Module):
             if done(name):
                 return x, end_points
 
-        x = _max_pool_same(x, (2, 2, 2), (2, 2, 2), naive=self.naive_pools)
+        x = _max_pool_same(
+            x, (2, 2, 2), (2, 2, 2),
+            naive=self.naive_pools, force_custom=force_custom_strided,
+        )
         if done("MaxPool3d_5a_2x2"):
             return x, end_points
 

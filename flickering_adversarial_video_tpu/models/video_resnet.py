@@ -73,14 +73,15 @@ def _conv(
             name=name,
         )
 
-    if os.environ.get("FLICKER_RESNET_OUTPACK", "") != "1":
+    if os.environ.get("FLICKER_RESNET_OUTPACK", "1") == "0":
         return make_conv()
     # stride-2-W output-packed backward-input for the under-laned stride-1
     # convs (xplane round 2: layer1 bwd fusions at 47 TF/s, dx C=64 = half
     # the MXU lanes).  Forward values identical; parameter path identical
-    # (<name>/kernel).  Gated until measured end to end.  Module
-    # construction is deferred into the branch so only ONE of the two
-    # claims `name` in the parent compact scope.
+    # (<name>/kernel).  Default ON since the round-3 chip A/B: 22.83 ->
+    # 23.53 steps/s on the r2plus1d_18 T=16 B=16 step; FLICKER_RESNET_OUTPACK=0
+    # opts out.  Module construction is deferred into the branch so only ONE
+    # of the two claims `name` in the parent compact scope.
     from ..ops.conv_wpack import conv_s1_outpack, outpack_eligible_resnet
 
     def apply(x):

@@ -54,11 +54,75 @@ def _pool_axis(x: jax.Array, axis: int, w: int, s: int) -> jax.Array:
         return x
     if _parity_eligible(x.shape[axis], w, s):
         return _pool_axis_parity(x, axis, w)
+    if s == 1 and _sepfwd() in ("1", "2"):
+        return _pool_axis_overlap(x, axis, w)
     window = [1] * x.ndim
     strides = [1] * x.ndim
     window[axis] = w
     strides[axis] = s
     return lax.reduce_window(x, -jnp.inf, lax.max, window, strides, "SAME")
+
+
+def _sepfwd() -> bool:
+    """FLICKER_POOL_SEPFWD: stride-1 pool forwards (and their backward
+    recomputes) as separable elementwise shifted-slice max chains instead of
+    reduce-window.  The 3-D reduce-window forward of the overlapping
+    Inception-branch pools runs at 76 GiB/s on TPU (xplane rounds 2-3, 6.3 ms
+    of the 81 ms step) while the identically-shaped slice/pad/compare loop
+    fusions of the routing backward run at 350-770 GiB/s — this moves the
+    forward onto that second lowering.  Values are bit-identical: max is
+    separable, SAME pads compose (pad value is the max identity), and the
+    candidate set per output is the same elements.  Modes: =1 separable
+    (three 1-D passes, pad once + static slice per tap); =2 one-pass (single
+    -inf pad + w^3 static slices + tree max in ONE fusion, one output write).
+    ALL measured negative end to end vs the 11.936 steps/s reduce-window
+    default (2026-08-18 chip A/Bs, PERF.md): per-tap-pad separable 10.56,
+    pad-once separable 11.73, one-pass 11.59 — even the byte-saving forms
+    lose (VPU-issue-bound max chains + broken neighbor fusions).  Kept gated
+    for future-toolchain A/B; default OFF."""
+    return os.environ.get("FLICKER_POOL_SEPFWD", "")
+
+
+def _pool_axis_overlap(x: jax.Array, axis: int, w: int) -> jax.Array:
+    """1-D SAME max pool, stride 1, any w: pad ONCE with -inf, then
+    elementwise max over w static slices of the padded tensor — one pad op
+    feeding one loop fusion (the per-tap slice+pad form materialized a pad
+    per tap and measured net-negative)."""
+    n = x.shape[axis]
+    _, pad_lo, pad_hi = _same_pads(n, w, 1)
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (pad_lo, pad_hi)
+    xp = jnp.pad(x, pad_cfg, constant_values=jnp.asarray(-jnp.inf, x.dtype))
+    acc = None
+    for k in range(w):
+        cand = lax.slice_in_dim(xp, k, k + n, 1, axis=axis)
+        acc = cand if acc is None else lax.max(acc, cand)
+    return acc
+
+
+def _pool_overlap_onepass(x, window):
+    """3-D SAME max pool, all strides 1: ONE -inf pad + prod(window) static
+    slices + tree max — a single loop fusion with a single output write."""
+    pads = [_same_pads(x.shape[i + 1], w, 1)[1:] for i, w in enumerate(window)]
+    pad_cfg = [(0, 0)] + [(lo, hi) for lo, hi in pads] + [(0, 0)]
+    xp = jnp.pad(x, pad_cfg, constant_values=jnp.asarray(-jnp.inf, x.dtype))
+    acc = None
+    for kt in range(window[0]):
+        for kh in range(window[1]):
+            for kw in range(window[2]):
+                cand = lax.slice(
+                    xp,
+                    (0, kt, kh, kw, 0),
+                    (
+                        x.shape[0],
+                        kt + x.shape[1],
+                        kh + x.shape[2],
+                        kw + x.shape[3],
+                        x.shape[4],
+                    ),
+                )
+                acc = cand if acc is None else lax.max(acc, cand)
+    return acc
 
 
 def _parity_eligible(n: int, w: int, s: int) -> bool:
@@ -290,7 +354,11 @@ def _custom_fwd_impl(x, window, strides):
     # order) — reduce_window measured 76 GiB/s on the MaxPool2a geometry.
     # Safe ONLY under this custom VJP: autodiff of the elementwise form would
     # route ties by lax.max's rule, not the reference's first-match.
-    if _fully_parity(x, window, strides):
+    if all(s == 1 for s in strides) and _sepfwd() == "2":
+        return _pool_overlap_onepass(x, window)
+    if _fully_parity(x, window, strides) or (
+        _sepfwd() == "1" and all(s == 1 for s in strides)
+    ):
         y = x
         for i, (w, s) in enumerate(zip(window, strides)):
             if w > 1:
@@ -310,13 +378,13 @@ def _pool3d(x, window, strides):
 
 
 def _save_y() -> bool:
-    """FLICKER_POOL_SAVE_Y=1: carry the forward's pooled output as a residual
-    so the backward skips the final pool_T recompute (VERDICT r2 'reuse
-    instead of recompute').  Safe because max is exactly separable —
-    pool_T(pool_H(pool_W(x))) is bit-identical to the fused forward — but the
-    extra residual changes liveness/fusion, so the default stays recompute
-    until the A/B is measured on the chip (session script)."""
-    return os.environ.get("FLICKER_POOL_SAVE_Y", "") == "1"
+    """Carry the forward's pooled output as a residual so the backward skips
+    the final pool_T recompute (VERDICT r2 'reuse instead of recompute').
+    Safe because max is exactly separable — pool_T(pool_H(pool_W(x))) is
+    bit-identical to the fused forward.  Default ON since the round-3 chip
+    A/B: 11.845 -> 11.949 steps/s on the T=64 B=8 headline, HBM bytes/step
+    47.30 -> 46.58 GB.  FLICKER_POOL_SAVE_Y=0 opts out (recompute)."""
+    return os.environ.get("FLICKER_POOL_SAVE_Y", "1") != "0"
 
 
 def _fwd(x, window, strides):

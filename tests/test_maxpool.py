@@ -77,6 +77,30 @@ class TestMaxPoolSame:
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
     @pytest.mark.parametrize("window,strides", GEOMETRIES)
+    @pytest.mark.parametrize("odd", [False, True])
+    @pytest.mark.parametrize("mode", ["1", "2"])
+    def test_sepfwd_exact(self, rng, window, strides, odd, mode, monkeypatch):
+        """FLICKER_POOL_SEPFWD replaces the stride-1 reduce-window forward
+        (and backward recompute) with shifted-slice max chains (mode 1:
+        separable; mode 2: one-pass w^3 taps) — values bit-equal and
+        gradients first-match-identical, incl. on ties and odd
+        (asymmetric-SAME-pad) extents."""
+        monkeypatch.setenv("FLICKER_POOL_SEPFWD", mode)
+        shape = (2, 7, 9, 9, 4) if odd else (2, 6, 8, 8, 4)
+        x = jnp.asarray((rng.integers(0, 3, shape) * 0.5).astype(np.float32))
+
+        def pool(z, w, s):
+            return max_pool_same(z, w, s, force_custom=True)
+
+        got_y = np.asarray(pool(x, window, strides))
+        ref_y = np.asarray(_xla_pool(x, window, strides))
+        np.testing.assert_array_equal(got_y, ref_y)
+        got = np.asarray(_grads(pool, x, window, strides))
+        ref = np.asarray(_grads(_xla_pool, x, window, strides))
+        np.testing.assert_array_equal(got != 0, ref != 0)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("window,strides", GEOMETRIES)
     def test_grad_matches_xla_with_ties(self, rng, window, strides):
         # post-ReLU-like data: values quantized to {0, 0.5, 1.0} => windows
         # full of exact ties; the first-match rule must agree with
