@@ -498,7 +498,17 @@ class InceptionI3D(nn.Module):
         if not fuse_pool2a:  # fused path already produced the 2a pool value
             if done("Conv3d_1a_7x7"):
                 return x, end_points
-            x = _max_pool_same(x, (1, 3, 3), (1, 2, 2), naive=self.naive_pools)
+            # FLICKER_POOL_CUSTOM2A=1: custom routing for THIS pool only —
+            # the HLO round-3 copy analysis shows the relayout copies
+            # (copy.85/86/89/91, ~4.9 ms) cluster around pool2a's
+            # reduce-window/select-and-scatter layout preferences; the
+            # elementwise routing backward is layout-agnostic.
+            x = _max_pool_same(
+                x, (1, 3, 3), (1, 2, 2),
+                naive=self.naive_pools,
+                force_custom=force_custom_strided
+                or os.environ.get("FLICKER_POOL_CUSTOM2A", "") == "1",
+            )
             if done("MaxPool3d_2a_3x3"):
                 return x, end_points
         x = Unit3D(64, (1, 1, 1), compute_dtype=dt, name="Conv3d_2b_1x1")(x)

@@ -168,34 +168,41 @@ def _logical_bytes(hlo_text: str) -> int:
 
 
 def sol_table(rows, ix, tot, steps: int, peak_flops=197e12, peak_bw=819e9, top=25):
-    """Per-op speed-of-light bound: max(model FLOPs / MXU peak, logical
-    operand+output bytes / HBM peak).  Logical bytes come from the op's own
-    HLO shapes (minimum traffic); FLOPs from xprof's model-flops estimate.
-    Prints measured vs SoL per op and the step-level totals — the
-    falsifiable wall claim VERDICT r2 asked for."""
+    """Per-op speed-of-light bound: max(model FLOPs / MXU peak, measured
+    bytes / HBM peak).  Measured bytes = xprof's measured BW x self time —
+    the bytes the op ACTUALLY moved, so per-op SoL never exceeds measured
+    time and the step-level ratio is a defensible same-program-at-peak
+    bound (the falsifiable wall claim VERDICT r2 asked for).  Logical
+    operand+output bytes from the op's HLO shapes print alongside as the
+    byte-reduction headroom signal (logical << measured means the op moves
+    padding/relayout bytes a better layout could avoid)."""
     print(f"\n-- speed-of-light (peak {peak_flops/1e12:.0f} TF/s, {peak_bw/1e9:.0f} GB/s) --")
-    print(f"{'us/step':>9} {'sol_us':>8} {'x':>5}  {'bound':<7} op")
+    print(f"{'us/step':>9} {'sol_us':>8} {'x':>5} {'logGB/s':>8}  {'bound':<7} op")
     entries = []
     for q in rows:
         us = (q[ix["Total self time (us)"]] or 0) / steps
         if us <= 0:
             continue
         gf = q[ix["Model GFLOP/s"]] or 0
+        bw = q[ix["Measured memory BW (GiB/s)"]] or 0
         flops = gf * 1e9 * us / 1e6  # model flops per step for this op
-        nbytes = _logical_bytes(q[ix["HLO op text"]] or "")
+        meas_bytes = bw * 2**30 * us / 1e6
+        logical = _logical_bytes(q[ix["HLO op text"]] or "")
         sol_c = flops / peak_flops * 1e6
-        sol_m = nbytes / peak_bw * 1e6
-        sol = max(sol_c, sol_m)
+        sol_m = meas_bytes / peak_bw * 1e6
+        sol = min(max(sol_c, sol_m), us)
         bound = "compute" if sol_c >= sol_m else "memory"
-        entries.append((us, sol, bound, q[ix["HLO op name"]] or ""))
+        entries.append((us, sol, bound, logical, q[ix["HLO op name"]] or ""))
     entries.sort(key=lambda e: -e[0])
-    for us, sol, bound, name in entries[:top]:
+    for us, sol, bound, logical, name in entries[:top]:
         ratio = us / sol if sol > 0 else float("inf")
-        print(f"{us:9.1f} {sol:8.1f} {ratio:5.1f}  {bound:<7} {name[:70]}")
+        log_bw = logical / (us / 1e6) / 1e9 if us else 0
+        print(f"{us:9.1f} {sol:8.1f} {ratio:5.1f} {log_bw:8.0f}  {bound:<7} {name[:64]}")
     tot_us = sum(e[0] for e in entries)
     tot_sol = sum(e[1] for e in entries)
     print(f"\nstep: measured {tot_us/1e3:.2f} ms, SoL sum {tot_sol/1e3:.2f} ms "
-          f"-> {100*tot_sol/tot_us:.0f}% of speed-of-light")
+          f"-> step runs at {100*tot_sol/tot_us:.0f}% of same-program-at-peak "
+          f"speed of light")
 
 
 if __name__ == "__main__":
