@@ -118,12 +118,17 @@ def time_optimized(engine, batch, steps=STEPS, warmup=WARMUP, chunk=10):
     key = jax.random.key(0)
     # warmup with the same chunk size so only ONE chained program compiles
     state = engine.train_steps(state, dev_batch, flags, key, chunk)
-    jax.block_until_ready(state.delta)
+    # value READBACK fences, symmetric with the baseline's protocol (its
+    # timed_trial reads delta): block_until_ready is not a reliable
+    # completion fence on the tunneled (axon) chip.  The fence error only
+    # matters when the timed window is small; the readback keeps both sides
+    # of vs_baseline on the same rule.
+    _ = float(state.delta.reshape(-1)[0])
     chunks = max(steps // chunk, 1)
     t0 = time.perf_counter()
     for _ in range(chunks):
         state = engine.train_steps(state, dev_batch, flags, key, chunk)
-    jax.block_until_ready(state.delta)
+    _ = float(state.delta.reshape(-1)[0])
     return chunks * chunk / (time.perf_counter() - t0)
 
 
@@ -405,8 +410,11 @@ def main():
         result["single_video_T90_B1_error"] = repr(e)[:120]
     # Vectorized per-video sweep (engine/vector_sweep.py): slots x T90 clips
     # in flight, each with its own delta/Adam/stop-rule.  clip-steps/s vs the
-    # sequential single_video rate above quantifies the continuous-batching
-    # win (expected ~3x at slots>=4 from the B=1-vs-B=8 device-time profile).
+    # sequential single_video rate above.  Honest-fencing note (PERF.md):
+    # with value-readback fences this measures ~29 vs 32 sequential — the
+    # B=1-specialized kernel path beats slot-batching per-clip on ONE chip
+    # (slots>=2 loses the batch-aware stem/pool gates); the sweep's value is
+    # mesh scale-out of the slot axis.
     try:
         if over_budget("vector_sweep"):
             raise TimeoutError("bench time budget")
@@ -428,15 +436,22 @@ def main():
             vstate = vse.refill_slot(vstate, i, i, 0.4)
         vflags = RuntimeFlags(max_norm=0.4)
         vstate, _ = vse.run_chunk(vstate, vvideos, vlabels, vkeys, vflags, vchunk)
-        jax.block_until_ready(vstate.delta)
+        # value READBACK as the fence: block_until_ready is not a reliable
+        # completion fence on the tunneled (axon) chip (PERF.md round-3
+        # measurement notes); subtract the readback RTT
+        _ = float(jnp.sum(vstate.delta.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(vstate.delta.astype(jnp.float32)))
+        v_rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(vtrials):
             vstate, _ = vse.run_chunk(
                 vstate, vvideos, vlabels, vkeys, vflags, vchunk
             )
-        jax.block_until_ready(vstate.delta)
+        _ = float(jnp.sum(vstate.delta.astype(jnp.float32)))
+        v_elapsed = max(time.perf_counter() - t0 - v_rtt, 1e-9)
         result["vector_sweep4_T90_clip_steps_per_s"] = round(
-            slots * vchunk * vtrials / (time.perf_counter() - t0), 3
+            slots * vchunk * vtrials / v_elapsed, 3
         )
     except Exception as e:
         result["vector_sweep4_T90_error"] = repr(e)[:120]

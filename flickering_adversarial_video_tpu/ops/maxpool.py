@@ -128,11 +128,17 @@ def _pool_overlap_onepass(x, window):
 def _parity_eligible(n: int, w: int, s: int) -> bool:
     """Axis pools expressible on a free (cell, parity) split of the axis.
 
+    FLICKER_POOL_NOPARITY=1 disables the parity forms so the generic
+    pad+add+stack routing handles strided pools — A/B knob for geometries
+    where the parity interleave layout is hostile (PERF.md round 2/3).
+
     SAME with s=2 and even n gives pad_lo=0, so output o reads positions
     2o..2o+w-1: for w=3 that is cells (o,0),(o,1),(o+1,0); for w=2 just
     (o,0),(o,1).  Both become elementwise max over parity slices — no
     reduce_window (measured 76 GiB/s on the MaxPool2a geometry) and no
     select-and-scatter in the backward (17-37 GiB/s on B=1/overlap shapes)."""
+    if os.environ.get("FLICKER_POOL_NOPARITY", "") == "1":
+        return False
     return s == 2 and w in (2, 3) and n % 2 == 0
 
 
@@ -311,9 +317,59 @@ def max_pool_same(
         or all(s == 1 for s in strides)
     ):
         return _max_pool_custom(x, tuple(window), tuple(strides))
-    if window[0] == 1 and strides[0] == 1 and x.ndim == 5:
+    # Chip A/Bs 2026-08-18 (T=64 B=8 headline): Pallas pool2a-only 12.83
+    # steps/s vs 11.94 reduce-window default (+7.4%); including pool3a
+    # 12.26 (its Conv2c-relu faces pay relayout copies); the paired
+    # fwd+idx/routing-bwd kernels 9.65 (kernel cost dwarfs the copy win).
+    # Hence the defaults: 2A on, 3A off, pair off.
+    pallas_2a = os.environ.get("FLICKER_POOL_PALLAS_2A", "1")
+    if (
+        pallas_2a in ("1", "2")
+        and tuple(window) == (1, 3, 3)
+        and tuple(strides) == (1, 2, 2)
+        and x.ndim == 5
+        and x.shape[2] % 2 == 0
+        and x.shape[3] % 2 == 0
+        and jax.default_backend() == "tpu"
+        # the kernel's [H,W,C,BT] view puts B*T on lanes: require lane
+        # alignment (the T=90 slots=4 vector sweep has BT=180 -> padded to
+        # 256, measured 42.2 -> 28.8 clip-steps/s; the headline's BT=256 is
+        # exact)
+        and (x.shape[0] * x.shape[1]) % 128 == 0
+        # FLICKER_POOL_PALLAS_3A=1 extends the gate beyond MaxPool2a (C=64)
+        and not (
+            os.environ.get("FLICKER_POOL_PALLAS_3A", "0") == "0"
+            and x.shape[4] != 64
+        )
+    ):
+        # FLICKER_POOL_PALLAS_2A: MaxPool2a/3a through Pallas kernels — the
+        # reduce-window lowering of pool2a is the single worst op in the
+        # headline step (6.1 ms at 68 GiB/s, ~10x off SoL) and its W-minor
+        # layout preference forces the 411 MB relayout copies at the stem
+        # boundary (PERF.md round-3 copy hunt).  =1: forward only (XLA
+        # select-and-scatter backward keeps its W-minor demand — measured
+        # 12.26/11.64 steps/s, the copies survive).  =2: paired
+        # forward+argmax-index / index-routing backward — no
+        # select-and-scatter, no W-minor tensor at the boundary at all.
+        if pallas_2a == "2":
+            from .pallas_pool import strided_spatial_pool_pair
+
+            return strided_spatial_pool_pair(x)
+        from .pallas_pool import strided_spatial_pool_conv
+
+        return strided_spatial_pool_conv(x)
+    if (
+        window[0] == 1
+        and strides[0] == 1
+        and x.ndim == 5
+        and os.environ.get("FLICKER_POOL_NOFOLD", "") != "1"
+    ):
         # spatial-only pool: fold (B, T) so XLA sees a 4-D reduce-window
-        # (free reshape — adjacent major dims)
+        # (free reshape — adjacent major dims).  NOTE the fold is free but
+        # the 4-D reduce-window PREFERS layout {2,3,1,0}, which inserts
+        # relayout copies on both sides of the stem boundary (HLO round 3:
+        # copy.85/86/89/91, ~4.9 ms) — FLICKER_POOL_NOFOLD=1 A/Bs the plain
+        # 5-D lowering against that copy cost.
         b, t, h, w, c = x.shape
         y = lax.reduce_window(
             x.reshape(b * t, h, w, c),
@@ -348,7 +404,28 @@ def _max_pool_custom(
     return _custom_fwd_impl(x, window, strides)
 
 
+def _pallas_s1() -> bool:
+    """FLICKER_POOL_PALLAS_S1=1: stride-1 (3,3,3) pool FORWARDS through the
+    Pallas plane kernel (ops/pallas_pool.overlap_pool_333).  The reduce-window
+    lowering of these pools is the worst op left in the headline step (6.28 ms
+    at 76 GiB/s, ~10x off SoL — PERF.md round-3 SoL table) and every XLA-level
+    replacement measured negative; the Pallas kernel streams the same max
+    through VMEM at the memory floor.  Values are bit-identical, so the
+    first-match routing backward (and its save_y residual) is unaffected."""
+    return os.environ.get("FLICKER_POOL_PALLAS_S1", "") == "1"
+
+
 def _custom_fwd_impl(x, window, strides):
+    if (
+        _pallas_s1()
+        and window == (3, 3, 3)
+        and all(s == 1 for s in strides)
+        and x.ndim == 5
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_pool import overlap_pool_333
+
+        return overlap_pool_333(x)
     # Fully parity-eligible strided pools take the separable parity forward
     # (elementwise max over free parity splits; max is separable in any axis
     # order) — reduce_window measured 76 GiB/s on the MaxPool2a geometry.
