@@ -32,6 +32,7 @@ and as the measured record; see PERF.md round 2 and ops/maxpool.py.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -341,18 +342,37 @@ def _strided_pool_bwd(interpret, block, x, dy):
     # upgrade that removes it degrades to jax.vjp, same numerics)
     ssa = getattr(lax, "select_and_scatter_add_p", None)
     ge = getattr(lax, "ge_p", None)
-    if ssa is not None and ge is not None:
-        dx = ssa.bind(
-            dy,
-            x,
-            select_prim=ge,
-            window_dimensions=(1, 1, 3, 3, 1),
-            window_strides=(1, 1, 2, 2, 1),
-            padding=((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)),
-        )
-    else:
+    if ssa is None or ge is None:
         _, pullback = jax.vjp(_strided_ref_fwd, x)
-        (dx,) = pullback(dy)
+        return (pullback(dy)[0],)
+    if os.environ.get("FLICKER_POOL_2A_BWD_VIEW", "1") != "0":
+        # DEFAULT ON (chip A/B 2026-08-18: 12.83 -> 12.91 steps/s, HBM bytes
+        # 45.68 -> 45.27 GB): bind the select-and-scatter on the SAME
+        # [H,W,C,BT] view the Pallas forward reads, so x has one consumer
+        # orientation instead of two (the dual-layout materialization
+        # fusion.783, 1.9 ms).  Window first-match order is (H,W) row-major
+        # in both forms — identical gradients.
+        b, t, h, w, c = x.shape
+        xv = jnp.transpose(x.reshape(b * t, h, w, c), (1, 2, 3, 0))
+        dyv = jnp.transpose(dy.reshape(b * t, h // 2, w // 2, c), (1, 2, 3, 0))
+        dxv = ssa.bind(
+            dyv,
+            xv,
+            select_prim=ge,
+            window_dimensions=(3, 3, 1, 1),
+            window_strides=(2, 2, 1, 1),
+            padding=((0, 1), (0, 1), (0, 0), (0, 0)),
+        )
+        dx = jnp.transpose(dxv, (3, 0, 1, 2)).reshape(x.shape)
+        return (dx,)
+    dx = ssa.bind(
+        dy,
+        x,
+        select_prim=ge,
+        window_dimensions=(1, 1, 3, 3, 1),
+        window_strides=(1, 1, 2, 2, 1),
+        padding=((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)),
+    )
     return (dx,)
 
 

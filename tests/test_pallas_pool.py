@@ -261,3 +261,15 @@ class TestStridedSpatialPoolPair:
         np.testing.assert_array_equal(
             np.asarray(got, np.float32), np.asarray(ref, np.float32)
         )
+
+    def test_view_backward_matches(self, rng, monkeypatch):
+        # FLICKER_POOL_2A_BWD_VIEW=1 binds select-and-scatter on the
+        # [H,W,C,BT] view — gradients must be identical, incl. ties
+        monkeypatch.setenv("FLICKER_POOL_2A_BWD_VIEW", "1")
+        x = jnp.asarray((rng.integers(0, 3, (2, 3, 8, 8, 4)) * 0.5).astype(np.float32))
+        w = jax.random.normal(jax.random.key(2), (2, 3, 4, 4, 4))
+        got = jax.grad(lambda z: jnp.sum(strided_spatial_pool_conv(z, True) * w))(x)
+        ref = jax.grad(
+            lambda z: jnp.sum(nn.max_pool(z, (1, 3, 3), (1, 2, 2), "SAME") * w)
+        )(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
