@@ -273,3 +273,16 @@ class TestStridedSpatialPoolPair:
             lambda z: jnp.sum(nn.max_pool(z, (1, 3, 3), (1, 2, 2), "SAME") * w)
         )(x)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_gate_inert_off_tpu(self, rng):
+        # FLICKER_POOL_PALLAS_2A defaults ON — off-TPU it must fall back to
+        # the XLA path (values + grads identical to reduce-window autodiff)
+        from flickering_adversarial_video_tpu.ops.maxpool import max_pool_same
+
+        x = jnp.asarray(rng.standard_normal((2, 2, 8, 8, 3)).astype(np.float32))
+        w = jax.random.normal(jax.random.key(3), (2, 2, 4, 4, 3))
+        got = jax.grad(lambda z: jnp.sum(max_pool_same(z, (1, 3, 3), (1, 2, 2)) * w))(x)
+        ref = jax.grad(
+            lambda z: jnp.sum(nn.max_pool(z, (1, 3, 3), (1, 2, 2), "SAME") * w)
+        )(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
