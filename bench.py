@@ -63,6 +63,15 @@ def build_engine(compute_dtype, packed_stem=True, naive_pools=False):
             from flickering_adversarial_video_tpu.models.i3d import build_stem_head
 
             stem_head = build_stem_head(variables, compute_dtype=compute_dtype)
+        elif os.environ.get("FLICKER_TMAJOR_HEAD", "") != "0":
+            # T-major head (ops/stem_tmajor.flicker_stem_tmajor), default on:
+            # the engine auto-gates eligibility (single device, 128-aligned
+            # B*T' lanes) and falls back to the plain prepacked path if not.
+            from flickering_adversarial_video_tpu.models.i3d import build_stem_head
+
+            stem_head = build_stem_head(
+                variables, compute_dtype=compute_dtype, tmajor=True
+            )
     engine = AttackEngine(
         lambda v, x: model.apply(v, x)[0],
         variables,

@@ -22,6 +22,7 @@ scalars* — hot-swappable per step with zero recompilation.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -324,16 +325,41 @@ class AttackEngine:
                 clipped = clipped * self._mask
             adv_flag = jnp.asarray(flags.adv_flag, jnp.float32)
         if prepacked and self.stem_head is not None:
-            from ..ops.packed_apply import flicker_stem_head
-
             sh = self.stem_head
-            y = flicker_stem_head(
-                video, clipped, adv_flag,
-                sh.pk, sh.mean, sh.var, sh.bias,
-                self.spec.input_min, self.spec.input_max,
-                sh.out_dtype,
-            )
-            return sh.apply_fn(self.variables, y)
+            if getattr(sh, "tmajor", False):
+                # T-major head (ops/stem_tmajor.py): eligible when the view
+                # geometry pays — single-device process (the t*B+b lane
+                # merge shards badly under a data mesh) with 128-aligned
+                # B*T' lanes; FLICKER_TMAJOR_HEAD=1/0 forces.  Ineligible
+                # traces fall through to the plain prepacked path.
+                env = os.environ.get("FLICKER_TMAJOR_HEAD", "")
+                eligible = env == "1" or (
+                    env != "0"
+                    and jax.device_count() == 1
+                    and (video.shape[0] * video.shape[1]) % 128 == 0
+                    and video.shape[2] % 2 == 0
+                    and video.shape[3] % 2 == 0
+                )
+                if eligible:
+                    from ..ops.stem_tmajor import flicker_stem_tmajor
+
+                    y = flicker_stem_tmajor(
+                        video, clipped, adv_flag,
+                        sh.pk, sh.mean, sh.var, sh.bias,
+                        self.spec.input_min, self.spec.input_max,
+                        sh.out_dtype,
+                    )
+                    return sh.apply_fn(self.variables, y)
+            else:
+                from ..ops.packed_apply import flicker_stem_head
+
+                y = flicker_stem_head(
+                    video, clipped, adv_flag,
+                    sh.pk, sh.mean, sh.var, sh.bias,
+                    self.spec.input_min, self.spec.input_max,
+                    sh.out_dtype,
+                )
+                return sh.apply_fn(self.variables, y)
         op = apply_flicker_prepacked if prepacked else apply_flicker_packed
         adv_packed = op(
             video, clipped, adv_flag, self.spec.input_min, self.spec.input_max

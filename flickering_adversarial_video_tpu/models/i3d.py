@@ -182,6 +182,12 @@ class PackedStemUnit3D(nn.Module):
     # PERF.md round 2) and no select-and-scatter backward.  The caller must
     # then SKIP MaxPool3d_2a_3x3.
     fuse_pool2a: bool = False
+    # run the stem in the T-major batch-in-lanes view (ops/stem_tmajor.py):
+    # input transposed to [H',W',Cin,T'B] (t*B+b lane order) so the four
+    # temporal tap slices are contiguous lane windows of one tensor; RETURNS
+    # THE VIEW [H',W',Cout,T'B] — the caller pools on it (strided_pool_view)
+    # and unviews after.
+    tmajor: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -203,6 +209,14 @@ class PackedStemUnit3D(nn.Module):
                 )()
                 pko = pack_stem_kernel_outpack(pk)
                 return stem_pool_outpack(packed, pk, pko, mean, var, bias)
+            if self.tmajor:
+                from ..ops.stem_tmajor import stem_bn_relu_tmajor, to_tmajor_view
+
+                mean, var, bias = _BNVars(
+                    self.output_channels, name="batch_norm"
+                )()
+                xv = to_tmajor_view(packed)
+                return stem_bn_relu_tmajor(xv, pk, mean, var, bias, x.shape[0])
             if os.environ.get("FLICKER_STEM_FUSED_BN", "1") == "1":
                 # DEFAULT: conv+BN+relu as one custom-VJP op — the forward
                 # fusion writes only the relu output (XLA otherwise keeps
@@ -282,6 +296,33 @@ class PackedStemUnit3D(nn.Module):
             name="batch_norm",
         )(y)
         return nn.relu(y)
+
+
+class TmajorUnit3D(nn.Module):
+    """Unit3D (stride-1 SAME odd-kernel conv + frozen BN + relu) executed on
+    the T-major batch-in-lanes view [H, W, Cin, T'B]
+    (ops/stem_tmajor.conv_bn_relu_tmajor): the temporal kernel taps read
+    contiguous lane windows, so no b-major relayout exists anywhere in the
+    unit.  Parameter tree identical to Unit3D's (conv_3d/kernel
+    [kt,kh,kw,Cin,Cout] + batch_norm), so converted checkpoints load
+    unchanged."""
+
+    output_channels: int
+    kernel_shape: Tuple[int, int, int] = (1, 1, 1)
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xv: jax.Array, b: int) -> jax.Array:
+        from ..ops.stem_tmajor import conv_bn_relu_tmajor
+
+        kernel = _StemKernel(
+            (*self.kernel_shape, xv.shape[2], self.output_channels),
+            name="conv_3d",
+        )()
+        mean, var, bias = _BNVars(self.output_channels, name="batch_norm")()
+        return conv_bn_relu_tmajor(
+            xv, kernel.astype(self.compute_dtype), mean, var, bias, b
+        )
 
 
 class Unit3D(nn.Module):
@@ -432,6 +473,10 @@ class InceptionI3D(nn.Module):
     # (ops/packed_apply.py flicker_stem_head); stem parameters in the
     # variables dict are simply left untouched.
     skip_stem: bool = False
+    # __call__ receives the stem output as the T-MAJOR VIEW [H,W,64,T',B]
+    # (ops/stem_tmajor.flicker_stem_tmajor): MaxPool3d_2a_3x3 pools the view
+    # in place, then the unview hands the Mixed region its b-major layout.
+    skip_stem_view: bool = False
 
     @nn.compact
     def __call__(
@@ -473,8 +518,50 @@ class InceptionI3D(nn.Module):
         # collapses to 17 GiB/s at B=1 (PERF.md round 2).  Only with the
         # fused stem — force-custom ALONE measured 27.36 steps/s (a loss).
         force_custom_strided = fuse_pool2a and x.shape[0] == 1
-        if self.skip_stem:
+        # T-major batch-in-lanes stem region (ops/stem_tmajor.py): the stem
+        # runs on a [H',W',Cin,T'B] view whose default layout IS the tap
+        # convs' preferred physical order, the temporal tap slices become
+        # contiguous lane windows, and MaxPool3d_2a_3x3 pools the view in
+        # place — the stem-tap relayout chain (~2.5 ms, PERF.md round-3 SoL
+        # table) never exists.  Chip A/B 2026-08-19 (T=64 B=8 headline):
+        # 12.87 -> 13.92 steps/s (+8.1%), HBM bytes 45.3 -> 43.0 GB.
+        # DEFAULT ON for single-device processes with 128-aligned B*T'
+        # lanes; the t*B+b lane merge shards badly under a data mesh (B
+        # minor in the merged dim forces GSPMD gathers), so multi-device
+        # keeps the b-major path unless FLICKER_STEM_TMAJOR=1 forces it.
+        tmj_env = os.environ.get("FLICKER_STEM_TMAJOR", "")
+        tmajor = (
+            self.prepacked_stem_input
+            and not self.skip_stem
+            and not fuse_pool2a
+            and not self.naive_pools
+            and self.final_endpoint not in ("Conv3d_1a_7x7",)
+            and x.shape[2] % 2 == 0
+            and x.shape[3] % 2 == 0
+            and (
+                tmj_env == "1"
+                or (
+                    tmj_env != "0"
+                    and jax.device_count() == 1
+                    and (x.shape[0] * x.shape[1]) % 128 == 0
+                )
+            )
+        )
+        view_b = None
+        if self.skip_stem_view:
+            h_, w_, c_, t_, view_b = x.shape
+            xv = x.reshape(h_, w_, c_, t_ * view_b)
+        elif self.skip_stem:
             pass  # x IS the stem output; fall through to the endpoint check
+        elif tmajor:
+            view_b = x.shape[0]
+            xv = PackedStemUnit3D(
+                64,
+                compute_dtype=dt,
+                prepacked_input=True,
+                tmajor=True,
+                name="Conv3d_1a_7x7",
+            )(x)
         elif fuse_pool2a:
             x = PackedStemUnit3D(
                 64,
@@ -495,7 +582,50 @@ class InceptionI3D(nn.Module):
             x = Unit3D(
                 64, (7, 7, 7), (2, 2, 2), compute_dtype=dt, name="Conv3d_1a_7x7"
             )(x)
-        if not fuse_pool2a:  # fused path already produced the 2a pool value
+        view_2bc = False
+        if view_b is not None:
+            # ---- T-major view region: pool2a, then (gated) 2b/2c/3a ----
+            from ..ops.stem_tmajor import from_tmajor_view, strided_pool_view
+
+            b = view_b
+            # endpoint values materialize only if a consumer asks (DCE'd in
+            # the attack step, which uses logits alone)
+            end_points["Conv3d_1a_7x7"] = from_tmajor_view(xv, b)
+            yv = strided_pool_view(xv)
+            x = from_tmajor_view(yv, b)
+            if done("MaxPool3d_2a_3x3"):
+                return x, end_points
+            # FLICKER_TMAJOR_2BC: continue 2b/2c/3a in the view — Conv2b is
+            # a plain 1x1 view conv, Conv2c's temporal-3 taps are lane
+            # windows (same trick as the stem), pool3a is spatial-only so
+            # strided_pool_view pools the view in place.  The b-major<->view
+            # frontier moves from pool2a's output to pool3a's (4/3x fewer
+            # bytes) and pool3a's select-and-scatter backward binds in the
+            # view orientation (354 -> ~590 GiB/s, xplane 2026-08-19).
+            if (
+                os.environ.get("FLICKER_TMAJOR_2BC", "1") != "0"
+                and yv.shape[0] % 2 == 0
+                and yv.shape[1] % 2 == 0
+            ):
+                view_2bc = True
+                yv = TmajorUnit3D(
+                    64, (1, 1, 1), compute_dtype=dt, name="Conv3d_2b_1x1"
+                )(yv, b)
+                x = from_tmajor_view(yv, b)
+                if done("Conv3d_2b_1x1"):
+                    return x, end_points
+                yv = TmajorUnit3D(
+                    192, (3, 3, 3), compute_dtype=dt, name="Conv3d_2c_3x3"
+                )(yv, b)
+                x = from_tmajor_view(yv, b)
+                if done("Conv3d_2c_3x3"):
+                    return x, end_points
+                yv = strided_pool_view(yv)
+                x = from_tmajor_view(yv, b)
+                if done("MaxPool3d_3a_3x3"):
+                    return x, end_points
+        elif not fuse_pool2a:
+            # (the excluded paths already produced the 2a pool value)
             if done("Conv3d_1a_7x7"):
                 return x, end_points
             # FLICKER_POOL_CUSTOM2A=1: custom routing for THIS pool only —
@@ -511,18 +641,19 @@ class InceptionI3D(nn.Module):
             )
             if done("MaxPool3d_2a_3x3"):
                 return x, end_points
-        x = Unit3D(64, (1, 1, 1), compute_dtype=dt, name="Conv3d_2b_1x1")(x)
-        if done("Conv3d_2b_1x1"):
-            return x, end_points
-        x = Unit3D(192, (3, 3, 3), compute_dtype=dt, name="Conv3d_2c_3x3")(x)
-        if done("Conv3d_2c_3x3"):
-            return x, end_points
-        x = _max_pool_same(
-            x, (1, 3, 3), (1, 2, 2),
-            naive=self.naive_pools, force_custom=force_custom_strided,
-        )
-        if done("MaxPool3d_3a_3x3"):
-            return x, end_points
+        if not view_2bc:
+            x = Unit3D(64, (1, 1, 1), compute_dtype=dt, name="Conv3d_2b_1x1")(x)
+            if done("Conv3d_2b_1x1"):
+                return x, end_points
+            x = Unit3D(192, (3, 3, 3), compute_dtype=dt, name="Conv3d_2c_3x3")(x)
+            if done("Conv3d_2c_3x3"):
+                return x, end_points
+            x = _max_pool_same(
+                x, (1, 3, 3), (1, 2, 2),
+                naive=self.naive_pools, force_custom=force_custom_strided,
+            )
+            if done("MaxPool3d_3a_3x3"):
+                return x, end_points
 
         for name in ("Mixed_3b", "Mixed_3c"):
             x = InceptionMixed(
@@ -614,12 +745,16 @@ def make_packed_apply_fn(num_classes: int = 400, compute_dtype: Any = jnp.bfloat
 
 
 def build_stem_head(
-    variables: Any, num_classes: int = 400, compute_dtype: Any = jnp.bfloat16
+    variables: Any,
+    num_classes: int = 400,
+    compute_dtype: Any = jnp.bfloat16,
+    tmajor: bool = False,
 ):
     """StemHead for the fused preprocess+stem path (engine `stem_head=`):
     packed 4-tap stem kernel + frozen BN stats from `variables`, and the
     skip_stem forward over the SAME variables (the stem entries are simply
-    not consumed by it)."""
+    not consumed by it).  tmajor=True builds the T-major head
+    (ops/stem_tmajor.flicker_stem_tmajor + skip_stem_view model)."""
     from ..ops.packed_apply import StemHead
 
     stem_p = variables["params"]["Conv3d_1a_7x7"]
@@ -628,7 +763,10 @@ def build_stem_head(
         compute_dtype
     )
     model = InceptionI3D(
-        num_classes=num_classes, compute_dtype=compute_dtype, skip_stem=True
+        num_classes=num_classes,
+        compute_dtype=compute_dtype,
+        skip_stem=not tmajor,
+        skip_stem_view=tmajor,
     )
     return StemHead(
         pk=pk,
@@ -637,6 +775,7 @@ def build_stem_head(
         bias=jnp.asarray(stem_p["batch_norm"]["bias"]),
         apply_fn=lambda v, y: model.apply(v, y)[0],
         out_dtype=compute_dtype,
+        tmajor=tmajor,
     )
 
 

@@ -187,6 +187,10 @@ class StemHead:
     bias: jax.Array
     apply_fn: Callable[[Any, jax.Array], jax.Array]
     out_dtype: Any = jnp.bfloat16  # the victim's compute dtype
+    # T-major head (ops/stem_tmajor.flicker_stem_tmajor): apply_fn consumes
+    # the [H,W,Cout,T',B] view (skip_stem_view model); the engine falls back
+    # to the plain prepacked path when the trace-time geometry is ineligible
+    tmajor: bool = False
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))

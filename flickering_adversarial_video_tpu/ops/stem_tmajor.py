@@ -1,0 +1,506 @@
+"""T-major batch-in-lanes layout for the packed I3D stem region.
+
+The worked-out round-3 lever (ROADMAP #3 / PERF.md post-campaign SoL table):
+after the Pallas pool campaign the largest recoverable block in the 74 ms
+headline step is the stem-tap layout chain (~2.5 ms) — `pad_slice_fusion.2`
+(1.58 ms) plus three 0.44 ms copies that convert the packed-apply output's
+four temporal tap slices into the tap convs' preferred batch-in-lanes
+operand layout ([256,112,112,24]{0,3,2,1}, emitter `EmitInputBatchInLanes`,
+physical order H,W,C,BT).  The taps are slices of a b-major (b*T'+t) fold,
+so each is a strided gather in the lane dim — hence the copies.
+
+This module expresses the whole stem region in that physical order as the
+LOGICAL shape, with the (T', B) lane merge in **T-major (t*B+b) order**:
+
+  * the adv tensor becomes one [H', W', Cin, T'*B] array whose default
+    layout IS the conv emitter's preferred physical order — XLA's layout
+    assignment has nothing to relayout;
+  * the temporal SAME pad (1, 2) becomes a lane pad of (B, 2B) zeros;
+  * the four temporal tap slices become CONTIGUOUS lane windows
+    [m*B, (m+T')*B) of one padded tensor (b-major order makes them strided
+    — unusable as conv operands without a copy);
+  * the tap convs run with explicit ("HWCN", "HWIO", "HWCN") dimension
+    numbers — identical contraction, batch on the minor dim;
+  * the stride-2 MaxPool2a consumes the stem output [H, W, C, T'B] view
+    DIRECTLY (the Pallas producer-layout kernel of ops/pallas_pool.py
+    already computes in exactly this orientation; only its (un)view
+    transposes disappear), and its select-and-scatter backward binds on the
+    same view (FLICKER_POOL_2A_BWD_VIEW semantics, now with zero transposes).
+
+The only layout frontier left is pool2a's OUTPUT -> Conv3d_2b_1x1 input
+([56,56,64,T'B] -> [B,T',56,56,64]), 4x smaller than the stem-input
+frontier the old chain paid.
+
+Backward: the concat-kernel stem backward (ops/space_to_depth.py
+stem_conv_catbwd derivation) ported to the view — ONE wide conv of the
+(masked, rsqrt-scaled) upstream gradient with all four spatially-flipped
+tap kernels concatenated on output channels, then a temporal shift+add
+that is a pure LANE-shift elementwise chain (shift by (1-m)*B).  BN/kernel
+cotangents are ZERO (frozen victim).
+
+Exactness: tests/test_stem_tmajor.py — values vs stem_conv_bn_relu +
+max_pool_same, gradients vs autodiff of the unfused reference, engineered
+pool ties, full-model logits parity, engine trajectory parity, 8-device
+mesh parity.  Gated FLICKER_STEM_TMAJOR (models/i3d.py).
+
+Measured (chip A/B 2026-08-19, T=64 B=8 headline, each end to end):
+12.87 -> 13.92 steps/s (+8.1%, vs_baseline 7.0 -> 7.57), HBM bytes/step
+45.27 -> 43.01 GB, MFU 25.9 -> 28.0% — the win exceeds the 2.5 ms tap-chain
+estimate because the pool2a view transposes vanish with it.  DEFAULT ON for
+single-device processes with 128-aligned B*T' lanes (the t*B+b merge shards
+badly under a data mesh: B is minor in the merged dim, so GSPMD would
+insert gathers; multi-device keeps the b-major path unless forced).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def to_tmajor_view(x: jax.Array) -> jax.Array:
+    """[B, T, H, W, C] -> [H, W, C, T*B] with lanes in t*B+b order."""
+    b, t, h, w, c = x.shape
+    return jnp.transpose(x, (2, 3, 4, 1, 0)).reshape(h, w, c, t * b)
+
+
+def from_tmajor_view(xv: jax.Array, b: int) -> jax.Array:
+    """[H, W, C, T*B] (t*B+b lane order) -> [B, T, H, W, C]."""
+    h, w, c, tb = xv.shape
+    return jnp.transpose(xv.reshape(h, w, c, tb // b, b), (4, 3, 0, 1, 2))
+
+
+def _tap_conv(xm: jax.Array, k: jax.Array, pads) -> jax.Array:
+    """One spatial tap conv on the view: xm [H, W, Cin, N], k [kh, kw, Cin,
+    Cout] -> [H, W, Cout, N].  Batch rides the minor (lane) dim."""
+    return lax.conv_general_dilated(
+        xm,
+        k,
+        window_strides=(1, 1),
+        padding=pads,
+        dimension_numbers=("HWCN", "HWIO", "HWCN"),
+        preferred_element_type=xm.dtype,
+    )
+
+
+def _stem_fwd_view(xv: jax.Array, pk: jax.Array, b: int) -> jax.Array:
+    """Temporally-unrolled packed stem conv on the T-major view.
+
+    xv: [H', W', Cin, T'*B]; pk: [4, 4, 4, Cin, Cout] (packed kernel,
+    pads T (1,2) / spatial (1,2)).  Tap m reads lane window
+    [m*B, (m+T')*B) of the (B, 2B) zero-padded lane extent — four
+    contiguous windows of ONE tensor (the whole point of T-major order).
+    """
+    h, w, c, tb = xv.shape
+    xpad = jnp.pad(xv, ((0, 0), (0, 0), (0, 0), (b, 2 * b)))
+    y = None
+    for m in range(4):
+        xm = lax.slice_in_dim(xpad, m * b, m * b + tb, axis=3)
+        ym = _tap_conv(xm, pk[m], [(1, 2), (1, 2)])
+        y = ym if y is None else y + ym
+    return y
+
+
+def _bn_relu_view(y, mean, var, bias, eps):
+    """Inference BN (no scale) + relu on the view — channel is dim 2.
+    Value-identical promotion order to nn.BatchNorm(dtype=compute)."""
+    dt = y.dtype
+    mean = mean.astype(dt)[:, None]
+    var = var.astype(dt)[:, None]
+    bias = bias.astype(dt)[:, None]
+    y = (y - mean) * lax.rsqrt(var + jnp.asarray(eps, dt)) + bias
+    return jax.nn.relu(y)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def stem_bn_relu_tmajor(xv, pk, mean, var, bias, b, eps=1e-3):
+    """Packed stem conv + frozen-BN + relu on the T-major view, as ONE
+    custom-VJP op: saves only the relu output y (mask recomputed as y > 0,
+    exact — see ops/space_to_depth.stem_conv_bn_relu) and runs the
+    concat-kernel backward entirely in the view.
+
+    xv: [H', W', Cin, T'*B] (t*B+b lanes); returns [H', W', Cout, T'*B].
+    BN/kernel cotangents are ZERO (frozen victim)."""
+    return _bn_relu_view(_stem_fwd_view(xv, pk, b), mean, var, bias, eps)
+
+
+def _tmajor_fwd(xv, pk, mean, var, bias, b, eps):
+    y = _bn_relu_view(_stem_fwd_view(xv, pk, b), mean, var, bias, eps)
+    return y, (pk, var, y)
+
+
+def _catbwd_lane_combine(g2, kt, b, t_plo, sp_bwd):
+    """dx of the tap-unrolled view conv: ONE wide conv of the (masked,
+    rsqrt-scaled) upstream gradient with ALL spatially-flipped tap kernels
+    concatenated on output channels (single read of g — the stem_conv_catbwd
+    derivation on the view), then the temporal combine
+    dx[v] = sum_m part[v + t_plo - m][tap m block], which in T-major lanes
+    is a pure LANE-shift by (t_plo - m)*B — a pad/slice/add chain XLA fuses
+    into one pass over `part`.
+
+    g2: [H, W, Cout, T'B]; kt: [KT, kh, kw, Cin, Cout]; sp_bwd: transposed
+    spatial pads ((kh-1-pl, kh-1-ph), ...)."""
+    n_taps, _, _, cin, _ = kt.shape
+    kflip = jnp.flip(kt, axis=(1, 2)).swapaxes(-1, -2)  # [KT,kh,kw,Cout,Cin]
+    kcat = jnp.concatenate([kflip[m] for m in range(n_taps)], axis=-1)
+    part = _tap_conv(g2, kcat, sp_bwd)  # [H, W, KT*Cin, T'B]
+    tb = part.shape[3]
+    acc = None
+    for m in range(n_taps):
+        blk = lax.slice_in_dim(part, m * cin, (m + 1) * cin, axis=2)
+        s = (t_plo - m) * b
+        if s > 0:
+            sl = lax.slice_in_dim(blk, s, tb, axis=3)
+            sl = jnp.pad(sl, ((0, 0), (0, 0), (0, 0), (0, s)))
+        elif s < 0:
+            sl = lax.slice_in_dim(blk, 0, tb + s, axis=3)
+            sl = jnp.pad(sl, ((0, 0), (0, 0), (0, 0), (-s, 0)))
+        else:
+            sl = blk
+        acc = sl if acc is None else acc + sl
+    return acc
+
+
+def _tmajor_bwd(b, eps, res, g):
+    pk, var, y = res
+    g = g.astype(pk.dtype)
+    vdt = var.astype(pk.dtype)[:, None]
+    g2 = g * (y > 0) * lax.rsqrt(vdt + jnp.asarray(eps, pk.dtype))
+    # packed stem: 4 taps, temporal pad (1,2), spatial fwd pads (1,2)
+    acc = _catbwd_lane_combine(g2, pk, b, 1, [(2, 1), (2, 1)])
+    zeros_bn = jnp.zeros_like(var)
+    return acc, jnp.zeros_like(pk), zeros_bn, zeros_bn, zeros_bn
+
+
+stem_bn_relu_tmajor.defvjp(_tmajor_fwd, _tmajor_bwd)
+
+
+# --------- generic odd-kernel stride-1 SAME Unit3D on the view ------------
+#
+# Extends the T-major region past pool2a (ROADMAP: the pool2a-output ->
+# Conv3d_2b frontier): Conv3d_2b_1x1 (KT=1 — a plain 1x1 view conv) and
+# Conv3d_2c_3x3 (KT=3 — three lane-window taps, temporal SAME (1,1) = lane
+# pad (B,B)) run directly on the [H, W, C, T'B] view, and MaxPool3d_3a_3x3
+# is spatial-only ((1,3,3)/(1,2,2)) so strided_pool_view pools the view in
+# place.  The b-major<->view frontier then moves from pool2a's output
+# ([56,56,64,TB]) to pool3a's ([28,28,192,TB]) — 4/3x fewer boundary bytes —
+# and the pool3a backward select-and-scatter binds in the view orientation
+# (its b-major form ran at 354 GiB/s vs the view pool2a's 589, xplane
+# 2026-08-19).
+
+
+def _conv_fwd_view(xv: jax.Array, kt: jax.Array, b: int) -> jax.Array:
+    """Odd-kernel stride-1 SAME conv on the view via temporal lane taps.
+
+    xv: [H, W, Cin, T'B] (t*B+b lanes); kt: [KT, kh, kw, Cin, Cout].
+    Temporal SAME pad ((KT-1)//2, KT//2) becomes a lane pad; tap m reads the
+    contiguous lane window [m*B, m*B + T'B)."""
+    n_taps, kh, kw = kt.shape[0], kt.shape[1], kt.shape[2]
+    sp = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
+    tb = xv.shape[3]
+    plo, phi = (n_taps - 1) // 2, n_taps // 2
+    xpad = (
+        jnp.pad(xv, ((0, 0), (0, 0), (0, 0), (plo * b, phi * b)))
+        if n_taps > 1
+        else xv
+    )
+    y = None
+    for m in range(n_taps):
+        xm = (
+            lax.slice_in_dim(xpad, m * b, m * b + tb, axis=3)
+            if n_taps > 1
+            else xpad
+        )
+        ym = _tap_conv(xm, kt[m], sp)
+        y = ym if y is None else y + ym
+    return y
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv_bn_relu_tmajor(xv, kt, mean, var, bias, b, eps=1e-3):
+    """Unit3D (conv + frozen-BN + relu, stride 1, SAME, odd kernel) on the
+    T-major view as ONE custom-VJP op: saves only the relu output y (mask
+    recomputed as y > 0, exact) and runs the concat-kernel backward entirely
+    in the view.  Math identical to nn.Conv(SAME) + BN + relu up to the
+    temporal tap-sum reassociation (the b-major path contracts all KT taps
+    in one conv; this sums KT partial convs).
+
+    xv: [H, W, Cin, T'B]; kt: [KT, kh, kw, Cin, Cout]; returns
+    [H, W, Cout, T'B].  Kernel/BN cotangents are ZERO (frozen victim)."""
+    return _bn_relu_view(_conv_fwd_view(xv, kt, b), mean, var, bias, eps)
+
+
+def _cbr_fwd(xv, kt, mean, var, bias, b, eps):
+    y = _bn_relu_view(_conv_fwd_view(xv, kt, b), mean, var, bias, eps)
+    return y, (kt, var, y)
+
+
+def _cbr_bwd(b, eps, res, g):
+    kt, var, y = res
+    n_taps, kh, kw = kt.shape[0], kt.shape[1], kt.shape[2]
+    g = g.astype(kt.dtype)
+    vdt = var.astype(kt.dtype)[:, None]
+    g2 = g * (y > 0) * lax.rsqrt(vdt + jnp.asarray(eps, kt.dtype))
+    sp_bwd = [
+        (kh - 1 - (kh - 1) // 2, kh - 1 - kh // 2),
+        (kw - 1 - (kw - 1) // 2, kw - 1 - kw // 2),
+    ]
+    acc = _catbwd_lane_combine(g2, kt, b, (n_taps - 1) // 2, sp_bwd)
+    zeros_bn = jnp.zeros_like(var)
+    return acc, jnp.zeros_like(kt), zeros_bn, zeros_bn, zeros_bn
+
+
+conv_bn_relu_tmajor.defvjp(_cbr_fwd, _cbr_bwd)
+
+
+# ------------- fused preprocess + T-major stem head (tanh world) -----------
+#
+# xplane of the T-major step (2026-08-19, 70.3 ms): the d(delta) chain still
+# pays ~3.4 ms — the combine materializes d(adv) in F32 (fusion.30, 1.36 ms,
+# 308 MB), a relayout to the u8 operand's W-minor layout follows (copy.50,
+# 1.07 ms) and the b-major masked reduce re-reads everything (fusion.8,
+# 0.92 ms).  All of it exists only because the clip mask is recomputed from
+# the B-MAJOR uint8 residual while the cotangent lives in the T-major view.
+# This op fuses the preprocess INTO the stem and saves the clip-gradient
+# mask IN THE VIEW during the forward (one extra u8 write, ~77 MB, fused
+# into the existing transpose chain), so the backward reduces the masked
+# cotangent straight to d(delta) — no f32 d(adv), no relayout, no u8 read.
+#
+# Mask semantics: jnp.clip is minimum(maximum(x, lo), hi) whose gradient at
+# an EXACT boundary is 0.5 (tie-splitting max/min VJPs — verified against
+# jax.grad).  The u8 residual stores 2*m in {0, 1, 2}; the backward
+# multiplies by 0.5f.  Boundary hits are real: the clean u8 path produces
+# exactly -1.0 at pixel value 0.
+#
+# Measured (chip A/B 2026-08-19, T=64 B=8 headline, warm-repeat-confirmed
+# to 3 decimals): 13.905 -> 13.985 steps/s (+0.6%, vs_baseline 7.56 ->
+# 7.61).  Far below the 3.4 ms xplane estimate: the saved-mask u8 write
+# (+0.8 GB HBM/step, 43.01 -> 43.81) buys back most of the removed d(adv)
+# materialization; the residual win is the dead relayout copy.  Kept
+# DEFAULT ON (same eligibility gate as the stem): reproducibly positive,
+# exact, and the in-op d(delta) reduction is the right structure for
+# future XLA versions to fuse further.
+
+
+def _clip_grad_mask2(pre: jax.Array, lo: float, hi: float) -> jax.Array:
+    """2x the gradient of jnp.clip(pre, lo, hi) wrt pre, as uint8 {0,1,2}.
+
+    jnp.clip = minimum(maximum(x, lo), hi); maximum/minimum VJPs give 0.5 at
+    exact ties, 1/0 elsewhere — the product is m in {0, 0.5, 1} (0.25 needs
+    x == lo AND max(x,lo) == hi, impossible for lo < hi)."""
+    two_mmax = jnp.where(pre > lo, 2, 0) + jnp.where(pre == lo, 1, 0)
+    two_mmin = jnp.where(pre < hi, 2, 0) + jnp.where(pre == hi, 1, 0)
+    return ((two_mmax * two_mmin) // 2).astype(jnp.uint8)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def flicker_stem_tmajor(
+    packed_u8: jax.Array,
+    delta_applied: jax.Array,
+    adv_flag: jax.Array,
+    pk: jax.Array,
+    bn_mean: jax.Array,
+    bn_var: jax.Array,
+    bn_bias: jax.Array,
+    input_min: float,
+    input_max: float,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """normalize+delta+clip AND the T-major stem conv+BN+relu as ONE
+    custom-VJP op; returns [H', W', Cout, T', B] (a free reshape of the
+    T-major view — the skip_stem_view model reads B from the last dim).
+
+    packed_u8: [B, T', H', W', 8C] host-prepacked uint8 (tanh world);
+    delta_applied: the already value-clipped/frame-masked [T, 1, 1, C]
+    delta.  pk/BN cotangents are ZERO (frozen victim); d(delta) and
+    d(adv_flag) reduce in the view against the saved clip mask — identical
+    math to jax.vjp over the separate ops, up to f32 reduction
+    reassociation."""
+    y, _ = _head_fwd_impl(
+        packed_u8, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+        input_min, input_max, out_dtype,
+    )
+    return y
+
+
+def _head_fwd_impl(
+    packed_u8, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+    input_min, input_max, out_dtype,
+):
+    import os
+
+    from .packed_apply import pack_flicker_delta
+
+    b, t, h, w, cin = packed_u8.shape
+    dpk = pack_flicker_delta(delta_applied)  # [T', 1, 1, 8C]
+    x32 = packed_u8.astype(jnp.float32) / 128.0 - 1.0
+    pre = x32 + jnp.asarray(adv_flag, jnp.float32) * dpk[None]
+    adv = jnp.clip(pre, input_min, input_max).astype(out_dtype)
+    advT = to_tmajor_view(adv)  # [H', W', 8C, T'B]
+    mask2T = to_tmajor_view(_clip_grad_mask2(pre, input_min, input_max))
+    if os.environ.get("FLICKER_TMAJOR_MASK_BARRIER", "1") == "1":
+        # Without the barrier XLA rematerializes the mask from a SAVED F32
+        # `pre` in a split [H,W,C,T',B] transpose layout — a 308 MB write
+        # plus a 2-copy relayout chain (copy_bitcast_fusion 1.08 ms +
+        # copy.54 1.01 ms in the 2026-08-19 xplane) before the backward's
+        # d(delta) reduce can read it.  The barrier pins the residual to
+        # what the op declares: the 77 MB u8 mask, already in the view.
+        mask2T = lax.optimization_barrier(mask2T)
+    yv = _bn_relu_view(
+        _stem_fwd_view(advT, pk, b), bn_mean, bn_var, bn_bias, 1e-3
+    )
+    res = (pk, bn_var, yv, mask2T, dpk, adv_flag, delta_applied.shape, b)
+    return yv.reshape(h, w, pk.shape[-1], t, b), res
+
+
+def _head_vjp_fwd(
+    packed_u8, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+    input_min, input_max, out_dtype,
+):
+    y, res = _head_fwd_impl(
+        packed_u8, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+        input_min, input_max, out_dtype,
+    )
+    return y, res + (packed_u8.shape,)
+
+
+def _head_vjp_bwd(input_min, input_max, out_dtype, res, g):
+    pk, bn_var, yv, mask2T, dpk, adv_flag, delta_shape, b, u8_shape = res
+    h, w, cout, t, _ = g.shape
+    cin = pk.shape[-2]
+    c = cin // 8
+    g4 = g.reshape(h, w, cout, t * b).astype(pk.dtype)
+    vdt = bn_var.astype(pk.dtype)[:, None]
+    g2 = g4 * (yv > 0) * lax.rsqrt(vdt + jnp.asarray(1e-3, pk.dtype))
+    # concat-kernel backward + lane-shift combine (see _catbwd_lane_combine)
+    dadv = _catbwd_lane_combine(g2, pk, b, 1, [(2, 1), (2, 1)])
+    # masked reduce straight to d(delta): the f32 d(adv) tensor never exists
+    dm = dadv.astype(jnp.float32) * (mask2T.astype(jnp.float32) * 0.5)
+    s_ct = jnp.sum(dm, axis=(0, 1))  # [8C, T'B]
+    s_tb = jnp.sum(s_ct.reshape(cin, t, b), axis=-1)  # [8C, T']
+    flag32 = jnp.asarray(adv_flag, jnp.float32)
+    d_dpk = flag32 * s_tb.T  # [T', 8C]
+    d_flag = jnp.sum(s_tb.T * dpk[:, 0, 0, :])
+    # transpose of pack_flicker_delta's (pt, ph, pw, c) broadcast fold
+    d_delta = (
+        d_dpk.reshape(t, 2, 2, 2, c).sum(axis=(2, 3)).reshape(delta_shape)
+    )
+    import numpy as np
+
+    return (
+        np.zeros(u8_shape, dtype=jax.dtypes.float0),
+        d_delta,
+        d_flag,
+        jnp.zeros_like(pk),
+        jnp.zeros_like(bn_var),  # mean ([Cout] f32, same as var)
+        jnp.zeros_like(bn_var),
+        jnp.zeros_like(bn_var),  # bias
+    )
+
+
+flicker_stem_tmajor.defvjp(_head_vjp_fwd, _head_vjp_bwd)
+
+
+# ---------------- strided spatial pool directly on the view ----------------
+
+
+def _pool_view_ref_fwd(xv):
+    """reduce-window reference on [H, W, C, N] (SAME (0,1) pads, 3x3/s2)."""
+    return lax.reduce_window(
+        xv,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(3, 3, 1, 1),
+        window_strides=(2, 2, 1, 1),
+        padding=((0, 1), (0, 1), (0, 0), (0, 0)),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def strided_pool_view(xv: jax.Array, interpret: bool = False, block=None):
+    """(3,3)/(2,2) SAME max pool on the [H, W, C, N] view: Pallas forward in
+    place (the ops/pallas_pool.py producer-layout kernel WITHOUT its (un)view
+    transposes — the T-major stem already emits this orientation), XLA
+    select-and-scatter backward bound on the same view.  Off-TPU the forward
+    is the bit-identical reduce-window (max is order-free), so the model
+    gate is inert on CPU tests."""
+    return _pool_view_fwd_impl(xv, interpret, block)
+
+
+def _pool_view_fwd_impl(xv, interpret, block):
+    if not interpret and jax.default_backend() != "tpu":
+        return _pool_view_ref_fwd(xv)
+    from .pallas_pool import _pick_hw_blocks, _strided_fwd_kernel
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w, c, n = xv.shape
+    ho, wo = h // 2, w // 2
+    hb, wb = block or _pick_hw_blocks(ho, wo, c, n, xv.dtype.itemsize)
+
+    yt = pl.pallas_call(
+        _strided_fwd_kernel,
+        grid=(ho // hb, wo // wb),
+        in_specs=[
+            pl.BlockSpec(
+                (2 * hb, 2 * wb, c, n), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2 * wb, c, n),
+                lambda i, j: (jnp.minimum(2 * hb * (i + 1), h - 1), j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2 * hb, 1, c, n),
+                lambda i, j: (i, jnp.minimum(2 * wb * (j + 1), w - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, c, n),
+                lambda i, j: (
+                    jnp.minimum(2 * hb * (i + 1), h - 1),
+                    jnp.minimum(2 * wb * (j + 1), w - 1),
+                    0,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (hb, wb, c, n), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ho, wo, c, n), xv.dtype),
+        interpret=interpret,
+    )(xv, xv, xv, xv)
+    return yt
+
+
+def _pool_view_vjp_fwd(xv, interpret, block):
+    return _pool_view_fwd_impl(xv, interpret, block), xv
+
+
+def _pool_view_vjp_bwd(interpret, block, xv, dy):
+    # exactly the autodiff backward of the reduce-window path, on the view
+    # (same (H, W) row-major first-match order); degrades to jax.vjp if the
+    # private primitive disappears in a future JAX
+    ssa = getattr(lax, "select_and_scatter_add_p", None)
+    ge = getattr(lax, "ge_p", None)
+    if ssa is None or ge is None:
+        _, pullback = jax.vjp(_pool_view_ref_fwd, xv)
+        return (pullback(dy)[0],)
+    dxv = ssa.bind(
+        dy,
+        xv,
+        select_prim=ge,
+        window_dimensions=(3, 3, 1, 1),
+        window_strides=(2, 2, 1, 1),
+        padding=((0, 1), (0, 1), (0, 0), (0, 0)),
+    )
+    return (dxv,)
+
+
+strided_pool_view.defvjp(_pool_view_vjp_fwd, _pool_view_vjp_bwd)

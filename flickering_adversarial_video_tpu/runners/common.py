@@ -261,25 +261,40 @@ def build_engine(
         model_name, variables, num_classes or reg.num_classes, compute_dtype
     )
 
-    # Fused preprocess+stem head (ops/packed_apply.flicker_stem_head): only
-    # meaningful on the host-prepacked tanh-world path; same gating as the
-    # packed fn plus the BN stats the head consumes.  Measured NEUTRAL on the
-    # T=64 B=8 headline (11.82 vs 11.84 steps/s, round 3 — the gradient
-    # relayout the fusion removes reappears at the contraction's input), so
-    # default-off; kept exact-parity tested for future XLA versions.
+    # Fused preprocess+stem heads, host-prepacked tanh-world path only; same
+    # gating as the packed fn plus the BN stats the head consumes.  Two
+    # variants:
+    #   * FLICKER_FUSED_HEAD=1 — the b-major head
+    #     (ops/packed_apply.flicker_stem_head).  Measured NEUTRAL on the
+    #     T=64 B=8 headline (11.82 vs 11.84 steps/s, round 3 — the gradient
+    #     relayout the fusion removes reappears at the contraction's input),
+    #     so opt-in; kept exact-parity tested for future XLA versions.
+    #   * default (FLICKER_TMAJOR_HEAD != "0") — the T-major head
+    #     (ops/stem_tmajor.flicker_stem_tmajor): preprocess + stem in the
+    #     batch-in-lanes view, clip mask saved in the view, d(delta) reduced
+    #     without materializing f32 d(adv).  The ENGINE gates eligibility at
+    #     trace time (single-device + 128-aligned B*T' lanes) and falls back
+    #     to the plain prepacked path otherwise, so building the head is
+    #     always safe.
     stem_head = None
-    if (
-        os.environ.get("FLICKER_FUSED_HEAD", "") == "1"
-        and model_name == "i3d"
+    head_ok = (
+        model_name == "i3d"
         and apply_packed_fn is not None
         and isinstance(variables, dict)
         and "batch_stats" in variables
         and "Conv3d_1a_7x7" in variables.get("batch_stats", {})
-    ):
+    )
+    if head_ok and os.environ.get("FLICKER_FUSED_HEAD", "") == "1":
         from ..models.i3d import build_stem_head
 
         stem_head = build_stem_head(
             variables, num_classes or reg.num_classes, compute_dtype
+        )
+    elif head_ok and os.environ.get("FLICKER_TMAJOR_HEAD", "") != "0":
+        from ..models.i3d import build_stem_head
+
+        stem_head = build_stem_head(
+            variables, num_classes or reg.num_classes, compute_dtype, tmajor=True
         )
 
     engine = AttackEngine(

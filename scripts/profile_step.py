@@ -71,6 +71,16 @@ def capture(outdir: str, steps: int, frames: int, size: int, batch: int,
     # build for the REQUESTED geometry (bench.build_engine hard-codes its own)
     model = InceptionI3D(num_classes=400, compute_dtype=jnp.bfloat16)
     variables = init_i3d_params(jax.random.key(0), frames=frames, size=size)
+    stem_head = None
+    if prepacked and os.environ.get("FLICKER_TMAJOR_HEAD", "") != "0":
+        # match the production default (bench.build_engine / runners/common):
+        # the T-major fused head on the prepacked path — the engine
+        # auto-gates eligibility and falls back if the geometry is wrong
+        from flickering_adversarial_video_tpu.models.i3d import build_stem_head
+
+        stem_head = build_stem_head(
+            variables, compute_dtype=jnp.bfloat16, tmajor=True
+        )
     engine = AttackEngine(
         lambda v, x: model.apply(v, x)[0],
         variables,
@@ -78,6 +88,7 @@ def capture(outdir: str, steps: int, frames: int, size: int, batch: int,
         AttackConfig(),
         track_probs=False,
         apply_packed_fn=make_packed_apply_fn(400, jnp.bfloat16),
+        stem_head=stem_head,
     )
     flags = RuntimeFlags()
     state = engine.init_state()
