@@ -325,6 +325,48 @@ class TmajorUnit3D(nn.Module):
         )
 
 
+class TmajorInceptionMixed(nn.Module):
+    """InceptionMixed on the T-major view: the four branches are
+    TmajorUnit3D convs plus the stride-1 (3,3,3) branch_3 pool in the view
+    (ops/stem_tmajor.stride1_pool333_view, first-match routing backward);
+    the channel concat is dim 2.  Parameter tree identical to
+    InceptionMixed's."""
+
+    channels: Tuple[int, int, int, int, int, int]
+    branch2_second_name: str = "Conv3d_0b_3x3"
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xv: jax.Array, b: int) -> jax.Array:
+        from ..ops.stem_tmajor import stride1_pool333_view
+
+        c0, c1a, c1b, c2a, c2b, c3 = self.channels
+        dt = self.compute_dtype
+        b0 = TmajorUnit3D(
+            c0, (1, 1, 1), compute_dtype=dt, name="Branch_0/Conv3d_0a_1x1"
+        )(xv, b)
+        b1 = TmajorUnit3D(
+            c1a, (1, 1, 1), compute_dtype=dt, name="Branch_1/Conv3d_0a_1x1"
+        )(xv, b)
+        b1 = TmajorUnit3D(
+            c1b, (3, 3, 3), compute_dtype=dt, name="Branch_1/Conv3d_0b_3x3"
+        )(b1, b)
+        b2 = TmajorUnit3D(
+            c2a, (1, 1, 1), compute_dtype=dt, name="Branch_2/Conv3d_0a_1x1"
+        )(xv, b)
+        b2 = TmajorUnit3D(
+            c2b,
+            (3, 3, 3),
+            compute_dtype=dt,
+            name=f"Branch_2/{self.branch2_second_name}",
+        )(b2, b)
+        b3 = stride1_pool333_view(xv, b)
+        b3 = TmajorUnit3D(
+            c3, (1, 1, 1), compute_dtype=dt, name="Branch_3/Conv3d_0b_1x1"
+        )(b3, b)
+        return jnp.concatenate([b0, b1, b2, b3], axis=2)
+
+
 class Unit3D(nn.Module):
     """Conv3D + (inference) BatchNorm + activation (reference i3d.py:32-71)."""
 
@@ -583,6 +625,7 @@ class InceptionI3D(nn.Module):
                 64, (7, 7, 7), (2, 2, 2), compute_dtype=dt, name="Conv3d_1a_7x7"
             )(x)
         view_2bc = False
+        vdepth = 0
         if view_b is not None:
             # ---- T-major view region: pool2a, then (gated) 2b/2c/3a ----
             from ..ops.stem_tmajor import from_tmajor_view, strided_pool_view
@@ -624,6 +667,84 @@ class InceptionI3D(nn.Module):
                 x = from_tmajor_view(yv, b)
                 if done("MaxPool3d_3a_3x3"):
                     return x, end_points
+                # FLICKER_TMAJOR_DEPTH: how deep the view region extends.
+                # "3a": unview after pool3a.  "4a": Mixed_3b/3c + MaxPool4a
+                # in the view (ops/stem_tmajor.pool4a_view — temporal
+                # stride-2 is a free parity reshape on the lanes).  "5a":
+                # + Mixed_4b-4f + MaxPool5a.  "5c" (default): + Mixed_5b/5c —
+                # the whole network runs in the view, unviewing only before
+                # the logits head.  Chip A/B 2026-08-19 (T=64 B=8 headline,
+                # ms/step xplane): 3a 67.15, 4a 63.75, 5a 60.53, 5c 60.42 —
+                # bench 14.76 -> 16.35 steps/s (8.03x -> 8.9x).
+                depth_env = os.environ.get("FLICKER_TMAJOR_DEPTH", "5c")
+                vdepth = {"3a": 0, "4a": 1, "5a": 2, "5c": 3}.get(depth_env, 0)
+                tq = yv.shape[3] // b  # T' at pool3a's output
+                if vdepth >= 1 and not (
+                    yv.shape[0] % 2 == 0
+                    and yv.shape[1] % 2 == 0
+                    and tq % 2 == 0
+                ):
+                    vdepth = 0  # pool4a's parity forms need even extents
+                if vdepth >= 2 and not (
+                    yv.shape[0] % 4 == 0
+                    and yv.shape[1] % 4 == 0
+                    and tq % 4 == 0
+                ):
+                    vdepth = 1  # pool5a halves everything once more
+                if vdepth >= 1:
+                    from ..ops.stem_tmajor import pool4a_view
+
+                    for name in ("Mixed_3b", "Mixed_3c"):
+                        yv = TmajorInceptionMixed(
+                            _MIXED_CHANNELS[name],
+                            branch2_second_name=_BRANCH2_SECOND_NAME.get(
+                                name, "Conv3d_0b_3x3"
+                            ),
+                            compute_dtype=dt,
+                            name=name,
+                        )(yv, b)
+                        x = from_tmajor_view(yv, b)
+                        if done(name):
+                            return x, end_points
+                    yv = pool4a_view(yv, b)
+                    x = from_tmajor_view(yv, b)
+                    if done("MaxPool3d_4a_3x3"):
+                        return x, end_points
+                if vdepth >= 2:
+                    from ..ops.stem_tmajor import pool5a_view
+
+                    for name in (
+                        "Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e",
+                        "Mixed_4f",
+                    ):
+                        yv = TmajorInceptionMixed(
+                            _MIXED_CHANNELS[name],
+                            branch2_second_name=_BRANCH2_SECOND_NAME.get(
+                                name, "Conv3d_0b_3x3"
+                            ),
+                            compute_dtype=dt,
+                            name=name,
+                        )(yv, b)
+                        x = from_tmajor_view(yv, b)
+                        if done(name):
+                            return x, end_points
+                    yv = pool5a_view(yv, b)
+                    x = from_tmajor_view(yv, b)
+                    if done("MaxPool3d_5a_2x2"):
+                        return x, end_points
+                if vdepth >= 3:
+                    for name in ("Mixed_5b", "Mixed_5c"):
+                        yv = TmajorInceptionMixed(
+                            _MIXED_CHANNELS[name],
+                            branch2_second_name=_BRANCH2_SECOND_NAME.get(
+                                name, "Conv3d_0b_3x3"
+                            ),
+                            compute_dtype=dt,
+                            name=name,
+                        )(yv, b)
+                        x = from_tmajor_view(yv, b)
+                        if done(name):
+                            return x, end_points
         elif not fuse_pool2a:
             # (the excluded paths already produced the 2a pool value)
             if done("Conv3d_1a_7x7"):
@@ -655,52 +776,55 @@ class InceptionI3D(nn.Module):
             if done("MaxPool3d_3a_3x3"):
                 return x, end_points
 
-        for name in ("Mixed_3b", "Mixed_3c"):
-            x = InceptionMixed(
-                _MIXED_CHANNELS[name],
-                branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
-                compute_dtype=dt,
-                naive_pools=self.naive_pools,
-                name=name,
-            )(x)
-            if done(name):
+        if vdepth < 1:
+            for name in ("Mixed_3b", "Mixed_3c"):
+                x = InceptionMixed(
+                    _MIXED_CHANNELS[name],
+                    branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
+                    compute_dtype=dt,
+                    naive_pools=self.naive_pools,
+                    name=name,
+                )(x)
+                if done(name):
+                    return x, end_points
+
+            x = _max_pool_same(
+                x, (3, 3, 3), (2, 2, 2),
+                naive=self.naive_pools, force_custom=force_custom_strided,
+            )
+            if done("MaxPool3d_4a_3x3"):
                 return x, end_points
 
-        x = _max_pool_same(
-            x, (3, 3, 3), (2, 2, 2),
-            naive=self.naive_pools, force_custom=force_custom_strided,
-        )
-        if done("MaxPool3d_4a_3x3"):
-            return x, end_points
+        if vdepth < 2:
+            for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+                x = InceptionMixed(
+                    _MIXED_CHANNELS[name],
+                    branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
+                    compute_dtype=dt,
+                    naive_pools=self.naive_pools,
+                    name=name,
+                )(x)
+                if done(name):
+                    return x, end_points
 
-        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
-            x = InceptionMixed(
-                _MIXED_CHANNELS[name],
-                branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
-                compute_dtype=dt,
-                naive_pools=self.naive_pools,
-                name=name,
-            )(x)
-            if done(name):
+            x = _max_pool_same(
+                x, (2, 2, 2), (2, 2, 2),
+                naive=self.naive_pools, force_custom=force_custom_strided,
+            )
+            if done("MaxPool3d_5a_2x2"):
                 return x, end_points
 
-        x = _max_pool_same(
-            x, (2, 2, 2), (2, 2, 2),
-            naive=self.naive_pools, force_custom=force_custom_strided,
-        )
-        if done("MaxPool3d_5a_2x2"):
-            return x, end_points
-
-        for name in ("Mixed_5b", "Mixed_5c"):
-            x = InceptionMixed(
-                _MIXED_CHANNELS[name],
-                branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
-                compute_dtype=dt,
-                naive_pools=self.naive_pools,
-                name=name,
-            )(x)
-            if done(name):
-                return x, end_points
+        if vdepth < 3:
+            for name in ("Mixed_5b", "Mixed_5c"):
+                x = InceptionMixed(
+                    _MIXED_CHANNELS[name],
+                    branch2_second_name=_BRANCH2_SECOND_NAME.get(name, "Conv3d_0b_3x3"),
+                    compute_dtype=dt,
+                    naive_pools=self.naive_pools,
+                    name=name,
+                )(x)
+                if done(name):
+                    return x, end_points
 
         # Logits head (reference i3d.py:459-474): VALID avg pool [2,7,7],
         # (dropout is identity at keep_prob=1 inference), 1x1x1 conv w/ bias,

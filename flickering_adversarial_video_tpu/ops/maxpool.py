@@ -315,6 +315,15 @@ def max_pool_same(
         force_custom
         or os.environ.get("FLICKER_POOL_FORCE_CUSTOM", "") == "1"
         or all(s == 1 for s in strides)
+        # pool4a-only A/B: its b-major (2,2,2)-strided select-and-scatter is
+        # the worst remaining op in the 67 ms step (1.66 ms at 224 GiB/s,
+        # 3.3x off SoL — xplane 2026-08-19); the generic routing was only
+        # ever measured for ALL strided pools at once
+        or (
+            os.environ.get("FLICKER_POOL_CUSTOM4A", "") == "1"
+            and tuple(window) == (3, 3, 3)
+            and tuple(strides) == (2, 2, 2)
+        )
     ):
         return _max_pool_custom(x, tuple(window), tuple(strides))
     # Chip A/Bs 2026-08-18 (T=64 B=8 headline): Pallas pool2a-only 12.83

@@ -50,6 +50,14 @@ estimate because the pool2a view transposes vanish with it.  DEFAULT ON for
 single-device processes with 128-aligned B*T' lanes (the t*B+b merge shards
 badly under a data mesh: B is minor in the merged dim, so GSPMD would
 insert gathers; multi-device keeps the b-major path unless forced).
+
+Same-day extensions (PERF.md): the residual mask barrier, the 2b/2c/3a
+units (conv_bn_relu_tmajor), and FLICKER_TMAJOR_DEPTH — Mixed blocks
+(TmajorInceptionMixed) and the strided pools 4a/5a on the view, so at the
+default depth "5c" the WHOLE network runs batch-in-lanes and the only
+remaining b-major frontier is the [7,7,1024,T''B] tensor entering the
+logits head.  Chip ms/step by depth: 3a 67.15, 4a 63.75, 5a 60.53,
+5c 60.42 = 16.35 steps/s = 8.9x.
 """
 
 from __future__ import annotations
@@ -504,3 +512,132 @@ def _pool_view_vjp_bwd(interpret, block, xv, dy):
 
 
 strided_pool_view.defvjp(_pool_view_vjp_fwd, _pool_view_vjp_bwd)
+
+
+# --------------- Mixed-region pools on the view (tmajor depth) -------------
+#
+# Extending the view past pool3a needs three more pool shapes.  All reuse
+# ops/maxpool.py's separable first-match machinery (_pool_axis/_route_axis —
+# the tie rule is select-and-scatter's, asserted against reduce_window
+# autodiff in tests/test_maxpool.py), with the TEMPORAL axis recovered from
+# the merged lanes by a free [H,W,C,T'B] -> [H,W,C,T',B] reshape: slices
+# and pads on the second-minor T' dim are static, fusible ops — the same
+# form as the stem backward's lane-shift chain.  Axis order is T, then H,
+# then W in every backward (the composite select-and-scatter window order
+# for NDHWC), matching the b-major path bit for bit including ties.
+
+
+def _t_axis_5d(xv: jax.Array, b: int):
+    h, w, c, tb = xv.shape
+    return xv.reshape(h, w, c, tb // b, b)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def stride1_pool333_view(xv: jax.Array, b: int) -> jax.Array:
+    """(3,3,3)/(1,1,1) SAME max pool on the view (the Inception branch_3
+    pool): separable slice-max chains forward (reduce-window over a B-minor
+    5-D tensor would relayout; the chains are the same lowering the routing
+    backward uses at 350-770 GiB/s b-major), first-match routing backward."""
+    y, _ = _s1v_fwd_impl(xv, b)
+    return y
+
+
+def _s1v_fwd_impl(xv, b):
+    from .maxpool import _pool_axis_overlap
+
+    m_w = _pool_axis_overlap(xv, 1, 3)
+    m_hw = _pool_axis_overlap(m_w, 0, 3)
+    y5 = _pool_axis_overlap(_t_axis_5d(m_hw, b), 3, 3)
+    return y5.reshape(xv.shape), (xv, m_w, m_hw)
+
+
+def _s1v_vjp_fwd(xv, b):
+    y, (x, m_w, m_hw) = _s1v_fwd_impl(xv, b)
+    return y, (x, m_w, m_hw, y)
+
+
+def _s1v_vjp_bwd(b, res, dy):
+    from .maxpool import _route_axis
+
+    xv, m_w, m_hw, y = res
+    g = _route_axis(
+        dy.reshape(_t_axis_5d(dy, b).shape),
+        _t_axis_5d(y, b),
+        _t_axis_5d(m_hw, b),
+        axis=3, w=3, s=1,
+    ).reshape(dy.shape)
+    g = _route_axis(g, m_hw, m_w, axis=0, w=3, s=1)
+    g = _route_axis(g, m_w, xv, axis=1, w=3, s=1)
+    return (g,)
+
+
+stride1_pool333_view.defvjp(_s1v_vjp_fwd, _s1v_vjp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def temporal_pool_view(xv: jax.Array, b: int, window: int = 3) -> jax.Array:
+    """SAME stride-2 temporal max pool on the merged lanes (window 2 or 3,
+    even T' — the parity split is a free reshape).  Composes with the
+    spatial pools to form MaxPool4a ((3,3,3)/(2,2,2)) and MaxPool5a
+    ((2,2,2)/(2,2,2)) on the view; spatial runs FIRST (forward) so the
+    chained VJPs route temporal first — the b-major axis order."""
+    from .maxpool import _pool_axis
+
+    return _pool_axis(_t_axis_5d(xv, b), 3, window, 2).reshape(
+        xv.shape[0], xv.shape[1], xv.shape[2], -1
+    )
+
+
+def _tpv_vjp_fwd(xv, b, window):
+    return temporal_pool_view(xv, b, window), xv
+
+
+def _tpv_vjp_bwd(b, window, xv, dy):
+    from .maxpool import _pool_axis, _route_axis
+
+    x5 = _t_axis_5d(xv, b)
+    y5 = _pool_axis(x5, 3, window, 2)
+    g5 = _route_axis(dy.reshape(y5.shape), y5, x5, axis=3, w=window, s=2)
+    return (g5.reshape(xv.shape),)
+
+
+temporal_pool_view.defvjp(_tpv_vjp_fwd, _tpv_vjp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _spatial_pool22_axis(axis: int, w: int, s: int, xv: jax.Array):
+    from .maxpool import _pool_axis
+
+    return _pool_axis(xv, axis, w, s)
+
+
+def _sp22_fwd(axis, w, s, xv):
+    return _spatial_pool22_axis(axis, w, s, xv), xv
+
+
+def _sp22_bwd(axis, w, s, xv, dy):
+    from .maxpool import _pool_axis, _route_axis
+
+    y = _pool_axis(xv, axis, w, s)
+    return (_route_axis(dy, y, xv, axis=axis, w=w, s=s),)
+
+
+_spatial_pool22_axis.defvjp(_sp22_fwd, _sp22_bwd)
+
+
+def pool4a_view(xv: jax.Array, b: int) -> jax.Array:
+    """MaxPool3d_4a_3x3 ((3,3,3)/(2,2,2)) on the view: spatial (3,3)/(2,2)
+    via strided_pool_view (Pallas fwd + view-bound select-and-scatter bwd),
+    then the temporal parity pool — chained VJPs give temporal-first
+    routing, the b-major composite order."""
+    return temporal_pool_view(strided_pool_view(xv), b, 3)
+
+
+def pool5a_view(xv: jax.Array, b: int) -> jax.Array:
+    """MaxPool3d_5a_2x2 ((2,2,2)/(2,2,2)) on the view: per-axis parity
+    pools (H, then W forward — backward routes W... the b-major composite
+    routes T,H,W; forward order here is W, H, T so chained VJPs reverse to
+    T, H, W exactly)."""
+    yv = _spatial_pool22_axis(1, 2, 2, xv)  # W
+    yv = _spatial_pool22_axis(0, 2, 2, yv)  # H
+    return temporal_pool_view(yv, b, 2)

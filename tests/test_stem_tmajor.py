@@ -315,6 +315,149 @@ class Test2bcExtension:
         np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
 
 
+def _ref_pool3d_view(xv, b, window, strides):
+    """reduce_window on the unviewed tensor, viewed back — the tie oracle."""
+    from jax import lax
+
+    x = from_tmajor_view(xv, b)
+    y = lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, *window, 1), (1, *strides, 1), "SAME"
+    )
+    return to_tmajor_view(y)
+
+
+class TestViewPools:
+    """The Mixed-region view pools (stride1_pool333_view, temporal_pool_view,
+    pool4a_view, pool5a_view): values == reduce_window through the view
+    transposes, gradients == reduce_window autodiff BIT FOR BIT on engineered
+    integer ties (the select-and-scatter first-match rule, axis order T,H,W)."""
+
+    def _tie_inputs(self, rng, b=2, t=4, h=8, w=8, c=3):
+        xv = to_tmajor_view(
+            jnp.asarray(rng.integers(0, 3, size=(b, t, h, w, c)).astype(np.float32))
+        )
+        return xv, b
+
+    @pytest.mark.parametrize(
+        "op_window_strides",
+        [
+            ("s1", (3, 3, 3), (1, 1, 1)),
+            ("4a", (3, 3, 3), (2, 2, 2)),
+            ("5a", (2, 2, 2), (2, 2, 2)),
+        ],
+    )
+    def test_values_and_tie_grads_match_reduce_window(
+        self, rng, op_window_strides
+    ):
+        from flickering_adversarial_video_tpu.ops.stem_tmajor import (
+            pool4a_view,
+            pool5a_view,
+            stride1_pool333_view,
+        )
+
+        kind, window, strides = op_window_strides
+        op = {
+            "s1": stride1_pool333_view,
+            "4a": pool4a_view,
+            "5a": pool5a_view,
+        }[kind]
+        xv, b = self._tie_inputs(rng)
+        got = op(xv, b)
+        want = _ref_pool3d_view(xv, b, window, strides)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        g = jnp.asarray(
+            rng.integers(-8, 9, size=want.shape).astype(np.float32)
+        )
+        dgot = jax.grad(lambda q: jnp.sum(op(q, b) * g))(xv)
+        dwant = jax.grad(
+            lambda q: jnp.sum(_ref_pool3d_view(q, b, window, strides) * g)
+        )(xv)
+        np.testing.assert_array_equal(np.asarray(dgot), np.asarray(dwant))
+
+    def test_temporal_pool_window3_odd_free(self, rng):
+        """temporal window 3 crosses parity blocks — exercise t not a
+        multiple of 4 (parity needs only even T')."""
+        from flickering_adversarial_video_tpu.ops.stem_tmajor import (
+            temporal_pool_view,
+        )
+
+        xv, b = self._tie_inputs(rng, t=6)
+        got = temporal_pool_view(xv, b, 3)
+        want = _ref_pool3d_view(xv, b, (3, 1, 1), (2, 1, 1))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        g = jnp.asarray(rng.integers(-8, 9, size=want.shape).astype(np.float32))
+        dgot = jax.grad(lambda q: jnp.sum(temporal_pool_view(q, b, 3) * g))(xv)
+        dwant = jax.grad(
+            lambda q: jnp.sum(_ref_pool3d_view(q, b, (3, 1, 1), (2, 1, 1)) * g)
+        )(xv)
+        np.testing.assert_array_equal(np.asarray(dgot), np.asarray(dwant))
+
+
+class TestViewDepth:
+    """FLICKER_TMAJOR_DEPTH: the view region extended through the Mixed
+    blocks and strided pools (models/i3d.py vdepth)."""
+
+    def _setup(self, rng, size=16, frames=8, k=7):
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+        from flickering_adversarial_video_tpu.ops.space_to_depth import pack_input
+
+        variables = init_i3d_params(
+            jax.random.key(0), num_classes=k, frames=frames, size=size
+        )
+        m = InceptionI3D(
+            num_classes=k, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        x = jnp.asarray(
+            rng.normal(size=(2, frames, size, size, 3)).astype(np.float32)
+        )
+        return m, variables, pack_input(x, axes=(1, 2, 3))
+
+    @pytest.mark.parametrize("depth", ["4a", "5a", "5c"])
+    def test_depth_logits_endpoints_grads_match_bmajor(
+        self, rng, depth, monkeypatch
+    ):
+        m, variables, xp = self._setup(rng)
+
+        def loss(q):
+            return jnp.sum(m.apply(variables, q)[0] ** 2)
+
+        monkeypatch.setenv("FLICKER_STEM_TMAJOR", "0")
+        base, ep_base = m.apply(variables, xp)
+        gbase = np.asarray(jax.grad(loss)(xp))
+        monkeypatch.setenv("FLICKER_STEM_TMAJOR", "1")
+        monkeypatch.setenv("FLICKER_TMAJOR_2BC", "1")
+        monkeypatch.setenv("FLICKER_TMAJOR_DEPTH", depth)
+        got, ep_got = m.apply(variables, xp)
+        ggot = np.asarray(jax.grad(loss)(xp))
+        checked = {
+            "4a": ("Mixed_3b", "Mixed_3c", "MaxPool3d_4a_3x3"),
+            "5a": ("Mixed_4b", "Mixed_4f", "MaxPool3d_5a_2x2"),
+            "5c": ("Mixed_5b", "Mixed_5c"),
+        }[depth]
+        for name in checked:
+            np.testing.assert_allclose(
+                np.asarray(ep_got[name]), np.asarray(ep_base[name]), atol=1e-5,
+                err_msg=name,
+            )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
+        scale = max(np.abs(gbase).max(), 1e-30)
+        np.testing.assert_allclose(ggot / scale, gbase / scale, atol=1e-5)
+
+    def test_ineligible_geometry_clamps_depth(self, rng, monkeypatch):
+        """frames=4 -> T'=2 at pool3a: depth 5a needs T'%4==0, so it must
+        clamp to 4a (not crash) and still match b-major."""
+        m, variables, xp = self._setup(rng, frames=4)
+        monkeypatch.setenv("FLICKER_STEM_TMAJOR", "0")
+        base, _ = m.apply(variables, xp)
+        monkeypatch.setenv("FLICKER_STEM_TMAJOR", "1")
+        monkeypatch.setenv("FLICKER_TMAJOR_DEPTH", "5c")
+        got, _ = m.apply(variables, xp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
+
+
 class TestModelToggle:
     def test_model_env_toggle(self, rng, monkeypatch):
         """FLICKER_STEM_TMAJOR=1: logits, endpoint values and input-gradient
