@@ -264,6 +264,74 @@ def _cbr_bwd(b, eps, res, g):
 conv_bn_relu_tmajor.defvjp(_cbr_fwd, _cbr_bwd)
 
 
+# ---------------- Pallas one-pass advT + clip-mask emitter -----------------
+#
+# The fused head's preprocess chain (xplane depth-5c, 2026-08-19) is XLA's
+# 3-stage transpose emit: fusion.12 (u8+delta -> bf16 advT in a SPLIT
+# [H,W,C,T',B] W-minor layout, 0.41 ms) + copy_bitcast_fusion (merge,
+# 0.57 ms) + copy.263 (relayout to the conv-ready {3,2,1,0}, 0.51 ms), plus
+# the u8 mask's own transpose (fusion.49, 0.59 ms) and merge — ~2.3 ms for
+# a job whose byte floor (read 77 MB u8, write 147 MB bf16 + 77 MB u8) is
+# ~0.37 ms.  This kernel does it in ONE pass: grid over H, each step reads
+# the u8 slab [B,T',1,W,C], transposes in VMEM to the view, applies
+# normalize+delta+clip, and writes the bf16 advT block AND the u8 2x-mask
+# block directly in the consumer's layout.
+
+
+def _emit_tmajor_kernel(u8_ref, dl_ref, adv_ref, mask_ref, *, lo, hi, out_dtype):
+    x = u8_ref[:, :, 0]  # [B, T', W, C]
+    b, t, w, c = x.shape
+    xt = jnp.transpose(x, (2, 3, 1, 0)).reshape(w, c, t * b)
+    # Mosaic has no direct u8 -> f32 cast; widen to i32 first
+    pre = xt.astype(jnp.int32).astype(jnp.float32) / 128.0 - 1.0
+    pre = pre + dl_ref[...][None]
+    adv_ref[0] = jnp.clip(pre, lo, hi).astype(out_dtype)
+    two_mmax = jnp.where(pre > lo, 2, 0) + jnp.where(pre == lo, 1, 0)
+    two_mmin = jnp.where(pre < hi, 2, 0) + jnp.where(pre == hi, 1, 0)
+    mask_ref[0] = ((two_mmax * two_mmin) // 2).astype(jnp.uint8)
+
+
+def emit_tmajor(packed_u8, dl, lo, hi, out_dtype, interpret=False):
+    """(advT bf16 [H,W,C,T'B], 2x clip mask u8 [H,W,C,T'B]) from the
+    host-prepacked u8 batch and dl = flag * pack_flicker_delta(delta) laid
+    out per (channel, lane) — one pass, outputs born in the view layout."""
+    from functools import partial as _part
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, h, w, c = packed_u8.shape
+    kernel = _part(
+        _emit_tmajor_kernel, lo=float(lo), hi=float(hi), out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(h,),
+        in_specs=[
+            pl.BlockSpec(
+                (b, t, 1, w, c), lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c, t * b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, w, c, t * b), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, w, c, t * b), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w, c, t * b), out_dtype),
+            jax.ShapeDtypeStruct((h, w, c, t * b), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(packed_u8, dl)
+
+
 # ------------- fused preprocess + T-major stem head (tanh world) -----------
 #
 # xplane of the T-major step (2026-08-19, 70.3 ms): the d(delta) chain still
@@ -344,19 +412,39 @@ def _head_fwd_impl(
 
     b, t, h, w, cin = packed_u8.shape
     dpk = pack_flicker_delta(delta_applied)  # [T', 1, 1, 8C]
-    x32 = packed_u8.astype(jnp.float32) / 128.0 - 1.0
-    pre = x32 + jnp.asarray(adv_flag, jnp.float32) * dpk[None]
-    adv = jnp.clip(pre, input_min, input_max).astype(out_dtype)
-    advT = to_tmajor_view(adv)  # [H', W', 8C, T'B]
-    mask2T = to_tmajor_view(_clip_grad_mask2(pre, input_min, input_max))
-    if os.environ.get("FLICKER_TMAJOR_MASK_BARRIER", "1") == "1":
-        # Without the barrier XLA rematerializes the mask from a SAVED F32
-        # `pre` in a split [H,W,C,T',B] transpose layout — a 308 MB write
-        # plus a 2-copy relayout chain (copy_bitcast_fusion 1.08 ms +
-        # copy.54 1.01 ms in the 2026-08-19 xplane) before the backward's
-        # d(delta) reduce can read it.  The barrier pins the residual to
-        # what the op declares: the 77 MB u8 mask, already in the view.
-        mask2T = lax.optimization_barrier(mask2T)
+    # FLICKER_TMAJOR_EMIT=1: the Pallas one-pass emitter.  NEGATIVE RESULT
+    # (2026-08-19): Mosaic's compiler CRASHES (tpu_compile_helper exit 1, no
+    # diagnostic) lowering the in-kernel [B,T',W,C] -> [W,C,T'B] transpose —
+    # the (major dims -> lanes) orientation the Pallas guide flags as the
+    # relayout worst case.  Kept opt-in for future toolchains; interpret-mode
+    # bit-equality is tested (tests/test_stem_tmajor.py::TestEmitTmajor).
+    if (
+        os.environ.get("FLICKER_TMAJOR_EMIT", "") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        # one-pass Pallas emit of advT + mask in the view layout (see
+        # emit_tmajor above); dl folds the flag so the kernel is a pure
+        # function of the batch
+        dl = jnp.asarray(adv_flag, jnp.float32) * dpk[:, 0, 0, :].T  # [8C,T']
+        dl = jnp.broadcast_to(dl[:, :, None], (cin, t, b)).reshape(cin, t * b)
+        advT, mask2T = emit_tmajor(
+            packed_u8, dl, input_min, input_max, out_dtype
+        )
+    else:
+        x32 = packed_u8.astype(jnp.float32) / 128.0 - 1.0
+        pre = x32 + jnp.asarray(adv_flag, jnp.float32) * dpk[None]
+        adv = jnp.clip(pre, input_min, input_max).astype(out_dtype)
+        advT = to_tmajor_view(adv)  # [H', W', 8C, T'B]
+        mask2T = to_tmajor_view(_clip_grad_mask2(pre, input_min, input_max))
+        if os.environ.get("FLICKER_TMAJOR_MASK_BARRIER", "1") == "1":
+            # Without the barrier XLA rematerializes the mask from a SAVED
+            # F32 `pre` in a split [H,W,C,T',B] transpose layout — a 308 MB
+            # write plus a 2-copy relayout chain (copy_bitcast_fusion
+            # 1.08 ms + copy.54 1.01 ms in the 2026-08-19 xplane) before
+            # the backward's d(delta) reduce can read it.  The barrier pins
+            # the residual to what the op declares: the 77 MB u8 mask,
+            # already in the view.
+            mask2T = lax.optimization_barrier(mask2T)
     yv = _bn_relu_view(
         _stem_fwd_view(advT, pk, b), bn_mean, bn_var, bn_bias, 1e-3
     )
@@ -532,6 +620,48 @@ def _t_axis_5d(xv: jax.Array, b: int):
     return xv.reshape(h, w, c, tb // b, b)
 
 
+def _lane_shift(x: jax.Array, s: int, fill) -> jax.Array:
+    """out[..., i] = x[..., i + s] with `fill` beyond the edge — one static
+    slice + one pad on the merged lane dim, the fusible form the stem
+    backward's combine uses (never a 5-D B-minor reshape, which XLA pays
+    relayout copies to consume: copy.33/34 in the depth-5c xplane)."""
+    tb = x.shape[3]
+    if s == 0:
+        return x
+    if s > 0:
+        sl = lax.slice_in_dim(x, s, tb, axis=3)
+        return jnp.pad(sl, ((0, 0),) * 3 + ((0, s),), constant_values=fill)
+    sl = lax.slice_in_dim(x, 0, tb + s, axis=3)
+    return jnp.pad(sl, ((0, 0),) * 3 + ((-s, 0),), constant_values=fill)
+
+
+def _pool_t_s1_lanes(x: jax.Array, b: int) -> jax.Array:
+    """Stride-1 window-3 SAME temporal max on the merged lanes."""
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    return lax.max(
+        x, lax.max(_lane_shift(x, -b, neg), _lane_shift(x, b, neg))
+    )
+
+
+def _route_t_s1_lanes(g, pooled, source, b):
+    """First-match routing for _pool_t_s1_lanes: window for output t covers
+    source t-1, t, t+1 in ascending order (select-and-scatter's rule)."""
+    neg = jnp.asarray(-jnp.inf, source.dtype)
+    taken = None
+    acc = None
+    for k in range(3):
+        s = (k - 1) * b
+        cand = _lane_shift(source, s, neg)
+        eq = cand == pooled
+        if taken is not None:
+            eq = eq & ~taken
+        taken = eq if taken is None else taken | eq
+        contrib = g * eq.astype(g.dtype)
+        back = _lane_shift(contrib, -s, 0)
+        acc = back if acc is None else acc + back
+    return acc
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def stride1_pool333_view(xv: jax.Array, b: int) -> jax.Array:
     """(3,3,3)/(1,1,1) SAME max pool on the view (the Inception branch_3
@@ -542,11 +672,25 @@ def stride1_pool333_view(xv: jax.Array, b: int) -> jax.Array:
     return y
 
 
+def _s1t_lanes() -> bool:
+    """FLICKER_TMAJOR_S1T_LANES=1: the branch_3 pool's TEMPORAL stage as
+    merged-lane shifts instead of the 5-D (T',B) reshape.  Measured WORSE
+    (chip A/B 2026-08-19, depth-5c headline): 60.42 -> 63.74 ms/step — the
+    three full-width -inf-padded lane candidates cost more than the 5-D
+    form's relayout copies (copy.33/34).  Kept gated as the recorded
+    negative; default is the 5-D form."""
+    import os
+
+    return os.environ.get("FLICKER_TMAJOR_S1T_LANES", "") == "1"
+
+
 def _s1v_fwd_impl(xv, b):
     from .maxpool import _pool_axis_overlap
 
     m_w = _pool_axis_overlap(xv, 1, 3)
     m_hw = _pool_axis_overlap(m_w, 0, 3)
+    if _s1t_lanes():
+        return _pool_t_s1_lanes(m_hw, b), (xv, m_w, m_hw)
     y5 = _pool_axis_overlap(_t_axis_5d(m_hw, b), 3, 3)
     return y5.reshape(xv.shape), (xv, m_w, m_hw)
 
@@ -560,12 +704,15 @@ def _s1v_vjp_bwd(b, res, dy):
     from .maxpool import _route_axis
 
     xv, m_w, m_hw, y = res
-    g = _route_axis(
-        dy.reshape(_t_axis_5d(dy, b).shape),
-        _t_axis_5d(y, b),
-        _t_axis_5d(m_hw, b),
-        axis=3, w=3, s=1,
-    ).reshape(dy.shape)
+    if _s1t_lanes():
+        g = _route_t_s1_lanes(dy, y, m_hw, b)
+    else:
+        g = _route_axis(
+            dy.reshape(_t_axis_5d(dy, b).shape),
+            _t_axis_5d(y, b),
+            _t_axis_5d(m_hw, b),
+            axis=3, w=3, s=1,
+        ).reshape(dy.shape)
     g = _route_axis(g, m_hw, m_w, axis=0, w=3, s=1)
     g = _route_axis(g, m_w, xv, axis=1, w=3, s=1)
     return (g,)

@@ -760,3 +760,100 @@ class TestMeshParityTmajor:
         np.testing.assert_allclose(
             float(s_m["total_loss"]), float(m_m["total_loss"]), rtol=1e-5
         )
+
+
+class TestEmitTmajor:
+    """emit_tmajor: the Pallas one-pass u8 -> (advT, 2x clip mask) emitter.
+    Mosaic crashes lowering it on the current toolchain (recorded negative,
+    gate FLICKER_TMAJOR_EMIT defaults off) — interpret mode pins the kernel's
+    semantics bit-for-bit against the composed reference so a future
+    toolchain can flip it on with confidence."""
+
+    def _inputs(self, rng, b=2, t=4, h=6, w=8, c=24):
+        u8 = np.asarray(
+            rng.integers(0, 256, (b, t, h, w, c), dtype=np.uint8)
+        )
+        # engineered clip-boundary hits: u8==0 with dl==0 gives pre == -1.0
+        # == lo exactly (mask value 1); u8==255 stays strictly inside hi
+        u8[0, 0, 0, 0, 0] = 0
+        dl = rng.uniform(-0.3, 0.3, (c, t * b)).astype(np.float32)
+        dl[0] = 0.0
+        return jnp.asarray(u8), jnp.asarray(dl)
+
+    @staticmethod
+    def _ref(u8, dl, lo, hi, out_dtype):
+        from flickering_adversarial_video_tpu.ops.stem_tmajor import (
+            _clip_grad_mask2,
+            to_tmajor_view,
+        )
+
+        pre = to_tmajor_view(u8.astype(jnp.float32) / 128.0 - 1.0)
+        pre = pre + dl[None, None]
+        adv = jnp.clip(pre, lo, hi).astype(out_dtype)
+        return adv, _clip_grad_mask2(pre, lo, hi)
+
+    @pytest.mark.parametrize("out_dtype", [jnp.float32, jnp.bfloat16])
+    def test_interpret_bit_equality(self, rng, out_dtype):
+        from flickering_adversarial_video_tpu.ops.stem_tmajor import (
+            emit_tmajor,
+        )
+
+        u8, dl = self._inputs(rng)
+        adv, mask = emit_tmajor(u8, dl, -1.0, 1.0, out_dtype, interpret=True)
+        want_adv, want_mask = self._ref(u8, dl, -1.0, 1.0, out_dtype)
+        assert adv.dtype == out_dtype and mask.dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(adv), np.asarray(want_adv))
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(want_mask))
+        # the engineered boundary tie actually landed
+        assert (np.asarray(want_mask) == 1).any()
+
+    def test_gate_is_inert_off_tpu(self, rng, monkeypatch):
+        """FLICKER_TMAJOR_EMIT=1 on a non-TPU backend must take the plain
+        path (the gate requires backend == tpu), so the fused head still
+        matches the composed reference."""
+        monkeypatch.setenv("FLICKER_TMAJOR_EMIT", "1")
+        from flickering_adversarial_video_tpu.ops.stem_tmajor import (
+            flicker_stem_tmajor,
+        )
+
+        th = TestFusedTmajorHead()
+        u8, delta, pk, mean, var, bias = th._inputs(rng)
+        y = flicker_stem_tmajor(
+            u8, delta, jnp.float32(1.0), pk, mean, var, bias, -1.0, 1.0,
+            jnp.float32,
+        )
+        want = th._ref(u8, delta, 1.0, pk, mean, var, bias)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(y, (4, 3, 0, 1, 2))),
+            np.asarray(want),
+            atol=1e-5,
+        )
+
+
+class TestS1TLanesGate:
+    """FLICKER_TMAJOR_S1T_LANES=1: branch_3 pool's temporal stage as
+    merged-lane shifts (recorded chip negative, 60.42 -> 63.74 ms; default
+    stays the 5-D form).  The gated path must be exact: values and
+    first-match tie grads equal to reduce_window through the view."""
+
+    def test_values_and_tie_grads_match(self, rng, monkeypatch):
+        monkeypatch.setenv("FLICKER_TMAJOR_S1T_LANES", "1")
+        from flickering_adversarial_video_tpu.ops.stem_tmajor import (
+            stride1_pool333_view,
+        )
+
+        b, t = 2, 4
+        xv = to_tmajor_view(
+            jnp.asarray(
+                rng.integers(0, 3, size=(b, t, 8, 8, 3)).astype(np.float32)
+            )
+        )
+        got = stride1_pool333_view(xv, b)
+        want = _ref_pool3d_view(xv, b, (3, 3, 3), (1, 1, 1))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        g = jnp.asarray(rng.integers(-8, 9, size=want.shape).astype(np.float32))
+        dgot = jax.grad(lambda q: jnp.sum(stride1_pool333_view(q, b) * g))(xv)
+        dwant = jax.grad(
+            lambda q: jnp.sum(_ref_pool3d_view(q, b, (3, 3, 3), (1, 1, 1)) * g)
+        )(xv)
+        np.testing.assert_array_equal(np.asarray(dgot), np.asarray(dwant))
