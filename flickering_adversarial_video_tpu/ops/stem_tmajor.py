@@ -430,6 +430,31 @@ def _head_fwd_impl(
         advT, mask2T = emit_tmajor(
             packed_u8, dl, input_min, input_max, out_dtype
         )
+    elif os.environ.get("FLICKER_TMAJOR_U8FIRST", "") == "1":
+        # Transpose the U8 batch into the view FIRST, then do
+        # normalize+delta+clip as pure in-view elementwise ops — targeting
+        # the depth-5c emit chain (fusion.12 0.41 + copy_bitcast_fusion
+        # 0.57 + copy.263 0.51 ms bf16 advT emit, + the mask's fusion.49
+        # 0.59 ms at 244 GiB/s): one u8 transpose is the cheapest possible
+        # layout crossing (77 MB each way) and everything after is
+        # lane-layout elementwise.  NEGATIVE RESULT (chip A/B 2026-08-19,
+        # headline): 16.371 -> 16.061 steps/s, HBM bytes 43.37 -> 44.56 GB
+        # — XLA's u8 [B,T',H,W,C] -> [H,W,C,T'B] relayout is slower than
+        # the fused bf16 chain it replaces (the same major-dims-to-lanes
+        # worst-case orientation that crashes the Pallas emitter), and the
+        # in-view f32 `pre` materializes for the mask+clip pair.  Values
+        # are bit-identical either way (TestU8FirstGate); kept gated off.
+        u8v = to_tmajor_view(packed_u8)  # [H, W, 8C, T'B] u8
+        dl = dpk[:, 0, 0, :].T  # [8C, T']
+        dlv = jnp.broadcast_to(dl[:, :, None], (cin, t, b)).reshape(
+            cin, t * b
+        )
+        pre = u8v.astype(jnp.float32) / 128.0 - 1.0
+        pre = pre + jnp.asarray(adv_flag, jnp.float32) * dlv[None, None]
+        advT = jnp.clip(pre, input_min, input_max).astype(out_dtype)
+        mask2T = _clip_grad_mask2(pre, input_min, input_max)
+        if os.environ.get("FLICKER_TMAJOR_MASK_BARRIER", "1") == "1":
+            mask2T = lax.optimization_barrier(mask2T)
     else:
         x32 = packed_u8.astype(jnp.float32) / 128.0 - 1.0
         pre = x32 + jnp.asarray(adv_flag, jnp.float32) * dpk[None]

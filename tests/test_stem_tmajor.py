@@ -857,3 +857,36 @@ class TestS1TLanesGate:
             lambda q: jnp.sum(_ref_pool3d_view(q, b, (3, 3, 3), (1, 1, 1)) * g)
         )(xv)
         np.testing.assert_array_equal(np.asarray(dgot), np.asarray(dwant))
+
+
+class TestU8FirstGate:
+    """FLICKER_TMAJOR_U8FIRST (default on): the head transposes the u8 batch
+    into the view BEFORE normalize+delta+clip.  Bit-identical to the
+    b-major-first order — same per-element op sequence, transpose is
+    value-preserving."""
+
+    def test_bit_equal_to_bmajor_first(self, rng, monkeypatch):
+        from flickering_adversarial_video_tpu.ops.stem_tmajor import (
+            flicker_stem_tmajor,
+        )
+
+        th = TestFusedTmajorHead()
+        u8, delta, pk, mean, var, bias = th._inputs(rng)
+
+        def run():
+            def loss(d):
+                y = flicker_stem_tmajor(
+                    u8, d, jnp.float32(1.0), pk, mean, var, bias, -1.0, 1.0,
+                    jnp.float32,
+                )
+                return jnp.sum(y * y), y
+
+            (val, y), gd = jax.value_and_grad(loss, has_aux=True)(delta)
+            return np.asarray(y), np.asarray(gd)
+
+        monkeypatch.setenv("FLICKER_TMAJOR_U8FIRST", "0")
+        y0, g0 = run()
+        monkeypatch.setenv("FLICKER_TMAJOR_U8FIRST", "1")
+        y1, g1 = run()
+        np.testing.assert_array_equal(y0, y1)
+        np.testing.assert_array_equal(g0, g1)
