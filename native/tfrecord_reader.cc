@@ -411,3 +411,108 @@ long tfr_read_batch_packed(void* handle, uint8_t* dst, long frames,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch-in-lanes view assembly: [B, T, H, W, C] -> [H, W, C, T*B], lane
+// l = t*B + b.  This is the T-major layout the full-depth I3D program runs
+// in (ops/stem_tmajor.py).  Emitting it on the host removes the device's
+// last layout crossing — on TPU this orientation (major dims -> lanes) is
+// the toolchain's worst relayout (three measured negatives, PERF.md); on
+// the host it is a cache-blocked byte transpose.
+//
+// Per h-slab the job is a (T*B) x (W*C) byte-matrix transpose where source
+// row l lives at src[((b*T + t)*H + h)*W*C].  64x64 blocking: each block
+// reads 64 resident cache lines and writes 64 contiguous runs.
+
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+#if defined(__SSE2__)
+#include <immintrin.h>
+
+// The 4-stage unpacklo/hi network with (i, i+8) output indexing transposes a
+// 16x16 byte tile; output register j holds column bitrev4(j) with rows in
+// order (verified by simulation; exactness pinned in
+// tests/test_packing_view.py against numpy).
+static const int kBitrev16[16] = {0, 8,  4, 12, 2, 10, 6, 14,
+                                  1, 9,  5, 13, 3, 11, 7, 15};
+
+static inline void T16x16(const uint8_t* const* rows, long off, uint8_t* dst,
+                          long dst_stride) {
+  __m128i x[16], t[16];
+  for (int i = 0; i < 16; ++i)
+    x[i] = _mm_loadu_si128((const __m128i*)(rows[i] + off));
+  for (int i = 0; i < 8; ++i) {
+    t[i] = _mm_unpacklo_epi8(x[2 * i], x[2 * i + 1]);
+    t[i + 8] = _mm_unpackhi_epi8(x[2 * i], x[2 * i + 1]);
+  }
+  for (int i = 0; i < 8; ++i) {
+    x[i] = _mm_unpacklo_epi16(t[2 * i], t[2 * i + 1]);
+    x[i + 8] = _mm_unpackhi_epi16(t[2 * i], t[2 * i + 1]);
+  }
+  for (int i = 0; i < 8; ++i) {
+    t[i] = _mm_unpacklo_epi32(x[2 * i], x[2 * i + 1]);
+    t[i + 8] = _mm_unpackhi_epi32(x[2 * i], x[2 * i + 1]);
+  }
+  for (int i = 0; i < 8; ++i) {
+    x[i] = _mm_unpacklo_epi64(t[2 * i], t[2 * i + 1]);
+    x[i + 8] = _mm_unpackhi_epi64(t[2 * i], t[2 * i + 1]);
+  }
+  for (int j = 0; j < 16; ++j)
+    _mm_storeu_si128((__m128i*)(dst + (long)kBitrev16[j] * dst_stride), x[j]);
+}
+#endif  // __SSE2__
+
+static void BatchToViewSlabs(const uint8_t* src, uint8_t* dst, long B, long T,
+                             long H, long W, long C, long h0, long h1) {
+  const long TB = T * B;
+  const long WC = W * C;
+  constexpr long BL = 64;
+  const uint8_t* rows[BL];
+  for (long h = h0; h < h1; ++h) {
+    uint8_t* dslab = dst + h * WC * TB;
+    for (long l0 = 0; l0 < TB; l0 += BL) {
+      const long ln = std::min(BL, TB - l0);
+      for (long i = 0; i < ln; ++i) {
+        const long l = l0 + i;
+        rows[i] = src + (((l % B) * T + (l / B)) * H + h) * WC;
+      }
+      long wc0 = 0;
+#if defined(__SSE2__)
+      if (ln == BL) {
+        for (; wc0 + 16 <= WC; wc0 += 16)
+          for (long i0 = 0; i0 < BL; i0 += 16)
+            T16x16(rows + i0, wc0, dslab + wc0 * TB + l0 + i0, TB);
+      }
+#endif
+      for (; wc0 < WC; ++wc0) {
+        uint8_t* d = dslab + wc0 * TB + l0;
+        for (long i = 0; i < ln; ++i) d[i] = rows[i][wc0];
+      }
+    }
+  }
+}
+
+extern "C" {
+
+void tfr_batch_view(const uint8_t* src, uint8_t* dst, long B, long T, long H,
+                    long W, long C, long nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  nthreads = std::min(nthreads, H);
+  if (nthreads == 1) {
+    BatchToViewSlabs(src, dst, B, T, H, W, C, 0, H);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const long chunk = (H + nthreads - 1) / nthreads;
+  for (long k = 0; k < nthreads; ++k) {
+    const long h0 = k * chunk;
+    const long h1 = std::min(H, h0 + chunk);
+    if (h0 >= h1) break;
+    ts.emplace_back(BatchToViewSlabs, src, dst, B, T, H, W, C, h0, h1);
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // extern "C"
