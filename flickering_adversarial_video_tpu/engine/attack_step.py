@@ -234,9 +234,15 @@ class AttackEngine:
 
     # ---------- packed fast path ----------
 
-    def _batch_video(self, batch) -> Tuple[jax.Array, bool]:
-        """(video, prepacked): a 'video_packed' key is the HOST-prepacked
-        space-to-depth uint8 layout (native reader / data.packing)."""
+    def _batch_video(self, batch) -> Tuple[jax.Array, object]:
+        """(video, mode): mode is False (generic 'video'), True (HOST-
+        prepacked 'video_packed' space-to-depth layout) or 'view' (HOST
+        view-prepacked 'video_view' [H,W,8C,T'B] batch-in-lanes layout —
+        data/packing.pack_batch_view_np / native tfr_batch_view; consumed
+        by flicker_stem_tmajor_view with zero device-side layout
+        crossings).  Truthiness of the mode == 'some packed layout'."""
+        if "video_view" in batch:
+            return batch["video_view"], "view"
         if "video_packed" in batch:
             return batch["video_packed"], True
         return batch["video"], False
@@ -278,7 +284,9 @@ class AttackEngine:
             and shape_ok
         )
 
-    def _packed_logits(self, delta, video, flags, prepacked: bool = False) -> jax.Array:
+    def _packed_logits(
+        self, delta, video, flags, prepacked=False, view_b: int = 0
+    ) -> jax.Array:
         """clip/mask delta -> packed fused apply -> prepacked victim forward.
         With delta=None the clean forward runs through the same fused op
         (adv_flag=0; the clamp is an identity on normalized clean pixels)."""
@@ -324,6 +332,24 @@ class AttackEngine:
             if self._mask is not None:
                 clipped = clipped * self._mask
             adv_flag = jnp.asarray(flags.adv_flag, jnp.float32)
+        if prepacked == "view":
+            sh = self.stem_head
+            if sh is None or not getattr(sh, "tmajor", False) or view_b <= 0:
+                raise ValueError(
+                    "batch carries 'video_view' (host view-prepacked "
+                    "[H,W,8C,T'B]) but the engine lacks a T-major stem head "
+                    "(build_stem_head(tmajor=True)) or a static batch size; "
+                    "view input has no b-major fallback"
+                )
+            from ..ops.stem_tmajor import flicker_stem_tmajor_view
+
+            y = flicker_stem_tmajor_view(
+                video, clipped, adv_flag,
+                sh.pk, sh.mean, sh.var, sh.bias,
+                self.spec.input_min, self.spec.input_max, sh.out_dtype,
+                view_b,
+            )
+            return sh.apply_fn(self.variables, y)
         if prepacked and self.stem_head is not None:
             sh = self.stem_head
             if getattr(sh, "tmajor", False):
@@ -380,7 +406,10 @@ class AttackEngine:
         if prepacked:
             self._packed_eligible(video, prepacked=True)  # raises if unsupported
         if prepacked or self._packed_eligible(video):
-            logits = self._packed_logits(delta, video, flags, prepacked=prepacked)
+            logits = self._packed_logits(
+                delta, video, flags, prepacked=prepacked,
+                view_b=labels.shape[0],
+            )
         elif (
             self.config.use_pallas_fused
             and self.config.norm_world == "tanh"
@@ -507,7 +536,10 @@ class AttackEngine:
         state, metrics = self._train_step_impl(state, batch, flags, key)
         video, prepacked = self._batch_video(batch)
         if prepacked or self._packed_eligible(video):
-            clean_logits = self._packed_logits(None, video, flags, prepacked=prepacked)
+            clean_logits = self._packed_logits(
+                None, video, flags, prepacked=prepacked,
+                view_b=batch["labels"].shape[0],
+            )
         else:
             x = self._normalize(video)
             clean_logits = self.apply_fn(self.variables, x)
@@ -537,8 +569,13 @@ class AttackEngine:
         video, prepacked = self._batch_video(batch)
         if prepacked or self._packed_eligible(video):
             self._packed_eligible(video, prepacked=prepacked)  # raises if unsupported
-            adv_logits = self._packed_logits(delta, video, flags, prepacked=prepacked)
-            clean_logits = self._packed_logits(None, video, flags, prepacked=prepacked)
+            vb = batch["labels"].shape[0]
+            adv_logits = self._packed_logits(
+                delta, video, flags, prepacked=prepacked, view_b=vb
+            )
+            clean_logits = self._packed_logits(
+                None, video, flags, prepacked=prepacked, view_b=vb
+            )
         else:
             x = self._normalize(video)
             adv = self._apply_delta(x, delta, flags, key)
@@ -573,7 +610,8 @@ class AttackEngine:
         if prepacked:
             self._packed_eligible(video, prepacked=True)  # raises if unsupported
             logits = self._packed_logits(
-                delta if adversarial else None, video, flags, prepacked=True
+                delta if adversarial else None, video, flags,
+                prepacked=prepacked, view_b=batch["labels"].shape[0],
             )
             return jax.nn.softmax(logits, axis=-1)
         x = self._normalize(video)
@@ -587,6 +625,12 @@ class AttackEngine:
     def shard(self, batch):
         if self.mesh is None:
             return batch
+        if "video_view" in batch:
+            raise ValueError(
+                "view-prepacked batches are single-device only (the T'B "
+                "lane merge interleaves the batch across lanes); shard the "
+                "b-major 'video_packed' layout instead"
+            )
         return mesh_lib.shard_batch(self.mesh, batch)
 
     def train_step(self, state, batch, flags: RuntimeFlags, key) -> Tuple[AttackState, Dict]:

@@ -402,6 +402,25 @@ def flicker_stem_tmajor(
     return y
 
 
+def _view_emit(u8v, dpk, adv_flag, t, b, input_min, input_max, out_dtype):
+    """normalize+delta+clip on a view-layout u8 batch [H, W, 8C, T'B]:
+    lane-broadcast the packed delta and emit (advT, 2x clip mask), both
+    born in the view.  Bit-identical to the b-major order (same
+    per-element op sequence)."""
+    import os
+
+    cin = u8v.shape[2]
+    dl = dpk[:, 0, 0, :].T  # [8C, T']
+    dlv = jnp.broadcast_to(dl[:, :, None], (cin, t, b)).reshape(cin, t * b)
+    pre = u8v.astype(jnp.float32) / 128.0 - 1.0
+    pre = pre + jnp.asarray(adv_flag, jnp.float32) * dlv[None, None]
+    advT = jnp.clip(pre, input_min, input_max).astype(out_dtype)
+    mask2T = _clip_grad_mask2(pre, input_min, input_max)
+    if os.environ.get("FLICKER_TMAJOR_MASK_BARRIER", "1") == "1":
+        mask2T = lax.optimization_barrier(mask2T)
+    return advT, mask2T
+
+
 def _head_fwd_impl(
     packed_u8, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
     input_min, input_max, out_dtype,
@@ -444,17 +463,10 @@ def _head_fwd_impl(
         # worst-case orientation that crashes the Pallas emitter), and the
         # in-view f32 `pre` materializes for the mask+clip pair.  Values
         # are bit-identical either way (TestU8FirstGate); kept gated off.
-        u8v = to_tmajor_view(packed_u8)  # [H, W, 8C, T'B] u8
-        dl = dpk[:, 0, 0, :].T  # [8C, T']
-        dlv = jnp.broadcast_to(dl[:, :, None], (cin, t, b)).reshape(
-            cin, t * b
+        advT, mask2T = _view_emit(
+            to_tmajor_view(packed_u8), dpk, adv_flag, t, b,
+            input_min, input_max, out_dtype,
         )
-        pre = u8v.astype(jnp.float32) / 128.0 - 1.0
-        pre = pre + jnp.asarray(adv_flag, jnp.float32) * dlv[None, None]
-        advT = jnp.clip(pre, input_min, input_max).astype(out_dtype)
-        mask2T = _clip_grad_mask2(pre, input_min, input_max)
-        if os.environ.get("FLICKER_TMAJOR_MASK_BARRIER", "1") == "1":
-            mask2T = lax.optimization_barrier(mask2T)
     else:
         x32 = packed_u8.astype(jnp.float32) / 128.0 - 1.0
         pre = x32 + jnp.asarray(adv_flag, jnp.float32) * dpk[None]
@@ -489,6 +501,10 @@ def _head_vjp_fwd(
 
 
 def _head_vjp_bwd(input_min, input_max, out_dtype, res, g):
+    return _head_bwd_core(res, g)
+
+
+def _head_bwd_core(res, g):
     pk, bn_var, yv, mask2T, dpk, adv_flag, delta_shape, b, u8_shape = res
     h, w, cout, t, _ = g.shape
     cin = pk.shape[-2]
@@ -523,6 +539,72 @@ def _head_vjp_bwd(input_min, input_max, out_dtype, res, g):
 
 
 flicker_stem_tmajor.defvjp(_head_vjp_fwd, _head_vjp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def flicker_stem_tmajor_view(
+    u8v: jax.Array,
+    delta_applied: jax.Array,
+    adv_flag: jax.Array,
+    pk: jax.Array,
+    bn_mean: jax.Array,
+    bn_var: jax.Array,
+    bn_bias: jax.Array,
+    input_min: float,
+    input_max: float,
+    out_dtype,
+    b: int,
+) -> jax.Array:
+    """flicker_stem_tmajor for a HOST-view-prepacked batch: u8v is already
+    [H', W', 8C, T'B] in t*B+b lane order (data/packing.batch_to_view_np /
+    native tfr_batch_view), so the program contains NO layout crossing at
+    all — the ~2.1 ms device emit chain (PERF.md: three measured negative
+    replacements) moves to a 1.4 GB/s/core host transpose overlapped with
+    device compute.  `b` is static (the lane dim merges T' and B).
+    Output and gradients are identical to flicker_stem_tmajor over the
+    b-major batch (same per-element op order; TestViewHead)."""
+    y, _ = _head_view_fwd_impl(
+        u8v, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+        input_min, input_max, out_dtype, b,
+    )
+    return y
+
+
+def _head_view_fwd_impl(
+    u8v, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+    input_min, input_max, out_dtype, b,
+):
+    from .packed_apply import pack_flicker_delta
+
+    h, w, cin, tb = u8v.shape
+    t = tb // b
+    dpk = pack_flicker_delta(delta_applied)  # [T', 1, 1, 8C]
+    advT, mask2T = _view_emit(
+        u8v, dpk, adv_flag, t, b, input_min, input_max, out_dtype
+    )
+    yv = _bn_relu_view(
+        _stem_fwd_view(advT, pk, b), bn_mean, bn_var, bn_bias, 1e-3
+    )
+    res = (pk, bn_var, yv, mask2T, dpk, adv_flag, delta_applied.shape, b)
+    return yv.reshape(h, w, pk.shape[-1], t, b), res
+
+
+def _head_view_vjp_fwd(
+    u8v, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+    input_min, input_max, out_dtype, b,
+):
+    y, res = _head_view_fwd_impl(
+        u8v, delta_applied, adv_flag, pk, bn_mean, bn_var, bn_bias,
+        input_min, input_max, out_dtype, b,
+    )
+    return y, res + (u8v.shape,)
+
+
+def _head_view_vjp_bwd(input_min, input_max, out_dtype, b, res, g):
+    return _head_bwd_core(res, g)
+
+
+flicker_stem_tmajor_view.defvjp(_head_view_vjp_fwd, _head_view_vjp_bwd)
 
 
 # ---------------- strided spatial pool directly on the view ----------------

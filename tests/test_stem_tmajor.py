@@ -890,3 +890,183 @@ class TestU8FirstGate:
         y1, g1 = run()
         np.testing.assert_array_equal(y0, y1)
         np.testing.assert_array_equal(g0, g1)
+
+
+class TestViewHead:
+    """flicker_stem_tmajor_view + the engine's 'video_view' batch mode: a
+    HOST view-prepacked [H,W,8C,T'B] batch drives the step with zero
+    device-side layout crossings.  Outputs and gradients must equal the
+    b-major head bit for bit (same per-element op order)."""
+
+    def test_op_bit_equal_to_bmajor_head(self, rng):
+        from flickering_adversarial_video_tpu.ops.stem_tmajor import (
+            flicker_stem_tmajor,
+            flicker_stem_tmajor_view,
+            to_tmajor_view,
+        )
+
+        th = TestFusedTmajorHead()
+        u8, delta, pk, mean, var, bias = th._inputs(rng)
+        b = u8.shape[0]
+        u8v = to_tmajor_view(u8)
+
+        def loss_b(d, flag):
+            y = flicker_stem_tmajor(
+                u8, d, flag, pk, mean, var, bias, -1.0, 1.0, jnp.float32
+            )
+            return jnp.sum(y * y), y
+
+        def loss_v(d, flag):
+            y = flicker_stem_tmajor_view(
+                u8v, d, flag, pk, mean, var, bias, -1.0, 1.0, jnp.float32, b
+            )
+            return jnp.sum(y * y), y
+
+        flag = jnp.float32(1.0)
+        (lb, yb), (gb, fb) = (
+            jax.value_and_grad(loss_b, argnums=(0, 1), has_aux=True)(delta, flag)
+        )
+        (lv, yv), (gv, fv) = (
+            jax.value_and_grad(loss_v, argnums=(0, 1), has_aux=True)(delta, flag)
+        )
+        np.testing.assert_array_equal(np.asarray(yv), np.asarray(yb))
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(gb))
+        np.testing.assert_array_equal(float(fv), float(fb))
+
+    def test_engine_view_batch_matches_prepacked(self, rng, monkeypatch):
+        """AttackEngine driven by a 'video_view' batch: delta trajectory,
+        losses, and fooling counters equal the 'video_packed' path (which
+        itself is pinned to the generic path by other tests)."""
+        monkeypatch.setenv("FLICKER_TMAJOR_HEAD", "1")
+        from flickering_adversarial_video_tpu.attack import FlickerSpec
+        from flickering_adversarial_video_tpu.data.packing import (
+            batch_to_view_np,
+            pack_video_np,
+        )
+        from flickering_adversarial_video_tpu.engine import (
+            AttackConfig,
+            AttackEngine,
+            RuntimeFlags,
+        )
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            build_stem_head,
+            init_i3d_params,
+        )
+
+        frames, size, k = 8, 16, 7
+        model = InceptionI3D(num_classes=k, compute_dtype=jnp.float32)
+        packed_model = InceptionI3D(
+            num_classes=k, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        variables = init_i3d_params(
+            jax.random.key(2), num_classes=k, frames=frames, size=size
+        )
+        mk = lambda: AttackEngine(
+            lambda v, x: model.apply(v, x)[0],
+            variables,
+            FlickerSpec(frames=frames),
+            AttackConfig(),
+            apply_packed_fn=lambda v, xp: packed_model.apply(v, xp)[0],
+            stem_head=build_stem_head(
+                variables, num_classes=k, compute_dtype=jnp.float32, tmajor=True
+            ),
+            track_probs=True,
+        )
+        video = rng.integers(0, 256, (2, frames, size, size, 3), dtype=np.uint8)
+        packed = pack_video_np(video)
+        labels = jnp.asarray(rng.integers(0, k, (2,)))
+        b_packed = {"video_packed": jnp.asarray(packed), "labels": labels}
+        b_view = {
+            "video_view": jnp.asarray(batch_to_view_np(packed)),
+            "labels": labels,
+        }
+        flags = RuntimeFlags()
+        key = jax.random.key(0)
+        ep, ev = mk(), mk()
+        sp, sv = ep.init_state(), ev.init_state()
+        for _ in range(3):
+            sp, mp = ep.train_eval_step(sp, b_packed, flags, key)
+            sv, mv = ev.train_eval_step(sv, b_view, flags, key)
+            np.testing.assert_allclose(
+                float(mv["total_loss"]), float(mp["total_loss"]), rtol=1e-6
+            )
+            assert int(mv["miss"]) == int(mp["miss"])
+            assert int(mv["valid"]) == int(mp["valid"])
+        np.testing.assert_allclose(
+            np.asarray(sv.delta), np.asarray(sp.delta), rtol=1e-5, atol=1e-8
+        )
+        d = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (frames, 1, 1, 3)).astype(np.float32)
+        )
+        evp = ep.eval_step(d, b_packed, flags, key)
+        evv = ev.eval_step(d, b_view, flags, key)
+        assert int(evp["miss"]) == int(evv["miss"])
+        assert int(evp["valid"]) == int(evv["valid"])
+
+    def test_view_batch_without_tmajor_head_raises(self, rng):
+        from flickering_adversarial_video_tpu.attack import FlickerSpec
+        from flickering_adversarial_video_tpu.engine import (
+            AttackConfig,
+            AttackEngine,
+            RuntimeFlags,
+        )
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+
+        frames, size, k = 8, 16, 5
+        model = InceptionI3D(num_classes=k, compute_dtype=jnp.float32)
+        packed_model = InceptionI3D(
+            num_classes=k, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        variables = init_i3d_params(
+            jax.random.key(0), num_classes=k, frames=frames, size=size
+        )
+        engine = AttackEngine(
+            lambda v, x: model.apply(v, x)[0],
+            variables,
+            FlickerSpec(frames=frames),
+            AttackConfig(),
+            apply_packed_fn=lambda v, xp: packed_model.apply(v, xp)[0],
+        )
+        batch = {
+            "video_view": jnp.zeros((size // 2, size // 2, 24, frames), jnp.uint8),
+            "labels": jnp.zeros((2,), jnp.int32),
+        }
+        with pytest.raises(ValueError, match="T-major stem head"):
+            engine.train_step(
+                engine.init_state(), batch, RuntimeFlags(), jax.random.key(0)
+            )
+
+    def test_view_batch_under_mesh_shard_raises(self, rng):
+        from flickering_adversarial_video_tpu.attack import FlickerSpec
+        from flickering_adversarial_video_tpu.engine import (
+            AttackConfig,
+            AttackEngine,
+        )
+        from flickering_adversarial_video_tpu.models.i3d import (
+            InceptionI3D,
+            init_i3d_params,
+        )
+        from flickering_adversarial_video_tpu.parallel import make_mesh
+
+        frames, size, k = 8, 16, 5
+        model = InceptionI3D(num_classes=k, compute_dtype=jnp.float32)
+        variables = init_i3d_params(
+            jax.random.key(0), num_classes=k, frames=frames, size=size
+        )
+        engine = AttackEngine(
+            lambda v, x: model.apply(v, x)[0],
+            variables,
+            FlickerSpec(frames=frames),
+            AttackConfig(),
+            mesh=make_mesh(),
+        )
+        batch = {
+            "video_view": jnp.zeros((size // 2, size // 2, 24, frames), jnp.uint8),
+            "labels": jnp.zeros((8,), jnp.int32),
+        }
+        with pytest.raises(ValueError, match="single-device only"):
+            engine.shard(batch)
