@@ -350,10 +350,33 @@ def main():
         prepacked = time_optimized(engine, packed_batch)
     except Exception:
         prepacked = None
-    # the prepacked rate IS the headline when available (it is the runners'
-    # default config) — do NOT take max(), so a prepacked-path regression
+    # View-prepacked input ([H',W',8C,T'B] batch-in-lanes, assembled on the
+    # host by the native SIMD transpose): the runners upgrade to it whenever
+    # the engine's T-major head will take it (make_shard_batches +
+    # engine.view_input_eligible), which this geometry satisfies — so when
+    # eligible, THIS is the production default the headline must measure
+    # (measured on-chip 2026-08-19: 16.36 -> 16.73 steps/s, the last
+    # device-side layout crossing gone).
+    view = None
+    try:
+        if engine.view_input_eligible(BATCH, FRAMES):
+            from flickering_adversarial_video_tpu.data.packing import (
+                pack_batch_view_np,
+            )
+
+            view_batch = {
+                "video_view": pack_batch_view_np(batch["video"]),
+                "labels": batch["labels"],
+            }
+            view = time_optimized(engine, view_batch)
+    except Exception:
+        view = None
+    # the production-default input mode IS the headline (view when eligible,
+    # else prepacked) — do NOT take max(), so a default-path regression
     # shows up in the primary metric
-    headline = prepacked if prepacked is not None else optimized
+    headline = next(
+        (r for r in (view, prepacked, optimized) if r is not None), optimized
+    )
 
     result = {
         "metric": "attack steps/sec/chip (I3D 64x224x224, batch 8)",
@@ -365,12 +388,19 @@ def main():
     }
     if prepacked is not None:
         result["prepacked_input_steps_per_s"] = round(prepacked, 3)
+    if view is not None:
+        result["view_input_steps_per_s"] = round(view, 3)
 
     # MFU of the headline step from the compiler's own cost model (VERDICT
     # r2 item 1: make the perf claim falsifiable).  flops counts every op in
     # the final optimized HLO of the fused program; peak = 197 TF/s bf16 v5e.
     try:
-        headline_batch = packed_batch if prepacked is not None else batch
+        if view is not None:
+            headline_batch = view_batch
+        elif prepacked is not None:
+            headline_batch = packed_batch
+        else:
+            headline_batch = batch
         flops, bytes_accessed = step_cost_analysis(engine, headline_batch)
         if flops:
             step_time = 1.0 / headline

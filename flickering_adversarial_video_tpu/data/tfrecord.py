@@ -216,6 +216,13 @@ def tfrecord_batches(
     the host (in C++ inside the native reader's record copy, or via
     data.packing.pack_video_np on the Python path).  Requires `frames` and
     the uint8 schema with even geometry.
+
+    prepack="view" yields {'video_view': [H/2,W/2,8C,(T/2)B] uint8}: the
+    packed records PLUS the batch-in-lanes transpose (native SIMD
+    tfr_batch_view, numpy fallback) — the exact layout the full-depth
+    T-major I3D program runs in (ops/stem_tmajor.flicker_stem_tmajor_view),
+    so the device never crosses layouts at all.  Single-device engines with
+    a T-major stem head only (engine.view_input_eligible).
     """
     if prepack:
         if schema != "uint8" or frames is None:
@@ -250,7 +257,20 @@ def tfrecord_batches(
                         yield parse(rec)
 
     native_packed = reader is not None and prepack
-    key = "video_packed" if prepack else "video"
+    view = prepack == "view"
+    key = "video_view" if view else ("video_packed" if prepack else "video")
+    if view:
+        from .packing import batch_to_view_np
+
+    def emit(videos, labels):
+        stacked = np.stack(videos)
+        if view:
+            # records are already space-to-depth packed [T',H',W',8C]; the
+            # batch-in-lanes transpose happens once per batch (SIMD C++
+            # tfr_batch_view when the native lib is loadable)
+            stacked = batch_to_view_np(stacked)
+        return {key: stacked, "labels": np.asarray(labels, np.int64)}
+
     videos, labels = [], []
     for video, label in record_iter():
         if not native_packed:
@@ -269,13 +289,10 @@ def tfrecord_batches(
         videos.append(video)
         labels.append(label)
         if len(videos) == batch_size:
-            yield {
-                key: np.stack(videos),
-                "labels": np.asarray(labels, np.int64),
-            }
+            yield emit(videos, labels)
             videos, labels = [], []
     if videos and not drop_remainder:
-        yield {key: np.stack(videos), "labels": np.asarray(labels, np.int64)}
+        yield emit(videos, labels)
 
 
 def make_tf_dataset(

@@ -261,6 +261,31 @@ class AttackEngine:
             and self.spec.width == 1
         )
 
+    def view_input_eligible(self, batch_size: int, frames: int) -> bool:
+        """Can this engine consume HOST view-prepacked 'video_view' batches
+        ([H',W',8C,T'B], data/packing.pack_batch_view_np)?  Mirrors the
+        T-major head's trace-time gate (single-device process, 128-aligned
+        T'B lanes) — unlike 'video_packed' the view path has no b-major
+        fallback, so the pipeline must only emit it when the engine will
+        definitely take it."""
+        sh = self.stem_head
+        env = os.environ.get("FLICKER_TMAJOR_HEAD", "")
+        if (
+            sh is None
+            or not getattr(sh, "tmajor", False)
+            or not self._packed_supported()
+            or self.mesh is not None
+            or frames % 2
+        ):
+            return False
+        if env == "1":  # forced, same as the trace-time gate
+            return True
+        return (
+            env != "0"
+            and jax.device_count() == 1
+            and (batch_size * (frames // 2)) % 128 == 0
+        )
+
     def _packed_eligible(self, video: jax.Array, prepacked: bool = False) -> bool:
         """Static (trace-time) eligibility for the packed-preprocess path."""
         from ..ops.packed_apply import packable, packable_spatial

@@ -340,8 +340,17 @@ def make_shard_batches(
         and frames % 2 == 0
         and size_eff % 2 == 0
     )
+    if prepack and bool(attack_cfg.get("VIEW_PREPACK_INPUT", True)):
+        # one better than the packed layout: the host also performs the
+        # batch-in-lanes transpose (data/packing.pack_batch_view_np, SIMD
+        # C++ tfr_batch_view) so the device-side T-major program starts in
+        # its own layout — zero layout crossings on device.  Only when the
+        # engine will definitely take the view (it has no b-major fallback).
+        if engine.view_input_eligible(batch_size, frames):
+            prepack = "view"
     if prepack:
-        print("input pipeline: host-prepacked space-to-depth uint8")
+        kind = "view [H',W',8C,T'B]" if prepack == "view" else "space-to-depth"
+        print(f"input pipeline: host-prepacked {kind} uint8")
 
     def batches(shards):
         return tfrecord_batches_fn(

@@ -94,7 +94,11 @@ def capture(outdir: str, steps: int, frames: int, size: int, batch: int,
     state = engine.init_state()
     rng = np.random.default_rng(0)
     video = rng.integers(0, 256, (batch, frames, size, size, 3), dtype=np.uint8)
-    if prepacked:
+    if prepacked == "view":
+        from flickering_adversarial_video_tpu.data.packing import pack_batch_view_np
+
+        batch_data = {"video_view": jax.device_put(pack_batch_view_np(video))}
+    elif prepacked:
         from flickering_adversarial_video_tpu.data.packing import pack_video_np
 
         batch_data = {"video_packed": jax.device_put(pack_video_np(video))}
@@ -225,6 +229,10 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--prepacked", action="store_true")
+    ap.add_argument(
+        "--view", action="store_true",
+        help="feed host view-prepacked [H',W',8C,T'B] input (production default)",
+    )
     ap.add_argument("--model", default="i3d", choices=["i3d", "r2plus1d_18"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--show-text", type=int, default=0)
@@ -247,7 +255,7 @@ if __name__ == "__main__":
         else:
             capture(
                 args.outdir, args.steps, args.frames, args.size, args.batch,
-                prepacked=args.prepacked,
+                prepacked="view" if args.view else args.prepacked,
             )
     out = summarize(args.outdir, args.top, steps=args.steps, show_text=args.show_text)
     if args.sol and out:

@@ -329,3 +329,61 @@ class TestPrepackGating:
             frames=4, size=16, batch_size=2,
         )
         assert prepack is False
+
+    def test_shard_batches_view_selection(self, rng, monkeypatch):
+        """make_shard_batches upgrades prepack -> 'view' exactly when the
+        engine can definitely consume 'video_view' batches
+        (engine.view_input_eligible): tmajor stem head, single device,
+        VIEW_PREPACK_INPUT not disabled."""
+        from flickering_adversarial_video_tpu.models.i3d import build_stem_head
+        from flickering_adversarial_video_tpu.runners.common import make_shard_batches
+        from flickering_adversarial_video_tpu.utils.config import AttrDict
+
+        frames, size, k = 8, 16, 7
+        model = InceptionI3D(num_classes=k, compute_dtype=jnp.float32)
+        packed_model = InceptionI3D(
+            num_classes=k, compute_dtype=jnp.float32, prepacked_stem_input=True
+        )
+        variables = init_i3d_params(
+            jax.random.key(0), num_classes=k, frames=frames, size=size
+        )
+
+        def mk(stem_head):
+            return AttackEngine(
+                lambda v, x: model.apply(v, x)[0],
+                variables,
+                FlickerSpec(frames=frames),
+                AttackConfig(),
+                apply_packed_fn=lambda v, xp: packed_model.apply(v, xp)[0],
+                stem_head=stem_head,
+            )
+
+        tmajor_head = build_stem_head(
+            variables, num_classes=k, compute_dtype=jnp.float32, tmajor=True
+        )
+        engine = mk(tmajor_head)
+
+        def select(cfg):
+            _, prepack = make_shard_batches(
+                AttrDict(cfg), engine, lambda *a, **kw: iter(()),
+                frames=frames, size=size, batch_size=32,
+            )
+            return prepack
+
+        # forced tmajor gate: eligible regardless of lane alignment/device
+        monkeypatch.setenv("FLICKER_TMAJOR_HEAD", "1")
+        assert select({}) == "view"
+        assert select({"VIEW_PREPACK_INPUT": False}) is True
+        # tmajor gate off: packed stays, view never selected
+        monkeypatch.setenv("FLICKER_TMAJOR_HEAD", "0")
+        assert select({}) is True
+        # default env on CPU test hosts: alignment rule decides; 32*(8/2)=128
+        # lanes is aligned, but multi-device test meshes make device_count>1
+        monkeypatch.delenv("FLICKER_TMAJOR_HEAD", raising=False)
+        expect = "view" if jax.device_count() == 1 else True
+        assert select({}) == expect
+        # no tmajor head -> never view
+        monkeypatch.setenv("FLICKER_TMAJOR_HEAD", "1")
+        assert mk(None).view_input_eligible(32, frames) is False
+        # odd frames -> never view
+        assert engine.view_input_eligible(32, frames + 1) is False

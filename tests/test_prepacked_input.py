@@ -95,6 +95,36 @@ class TestHostPacking:
                 bq["video_packed"], pack_video_np(bp["video"])
             )
 
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_tfrecord_batches_view(self, rng, tmp_path, use_native):
+        from flickering_adversarial_video_tpu.data.packing import pack_batch_view_np
+
+        path = str(tmp_path / "v.tfrecord")
+        clips = [
+            rng.integers(0, 256, (8, 12, 16, 3), dtype=np.uint8) for _ in range(4)
+        ]
+        with TFRecordWriter(path) as w:
+            for i, c in enumerate(clips):
+                w.write(make_uint8_example(c, i))
+        plain = list(
+            tfrecord_batches(
+                [path], 2, frames=6, height=12, width=16, use_native=use_native
+            )
+        )
+        view = list(
+            tfrecord_batches(
+                [path], 2, frames=6, height=12, width=16,
+                use_native=use_native, prepack="view",
+            )
+        )
+        assert len(plain) == len(view) == 2
+        for bp, bv in zip(plain, view):
+            np.testing.assert_array_equal(bv["labels"], bp["labels"])
+            assert set(bv) == {"video_view", "labels"}
+            np.testing.assert_array_equal(
+                bv["video_view"], pack_batch_view_np(bp["video"])
+            )
+
 
 class TestEnginePrepacked:
     def test_prepacked_trajectory_matches_standard(self, rng):
