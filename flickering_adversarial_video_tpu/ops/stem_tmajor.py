@@ -769,12 +769,27 @@ def _route_t_s1_lanes(g, pooled, source, b):
     return acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def stride1_pool333_view(xv: jax.Array, b: int) -> jax.Array:
     """(3,3,3)/(1,1,1) SAME max pool on the view (the Inception branch_3
-    pool): separable slice-max chains forward (reduce-window over a B-minor
-    5-D tensor would relayout; the chains are the same lowering the routing
-    backward uses at 350-770 GiB/s b-major), first-match routing backward."""
+    pool).  Default: separable slice-max chains forward (reduce-window over
+    a B-minor 5-D tensor would relayout; the chains are the same lowering
+    the routing backward uses at 350-770 GiB/s b-major), first-match routing
+    backward.  FLICKER_S1V_PALLAS routes eligible TPU geometries through the
+    fused one-pass kernels (ops/pool_s1_view_pallas.py — residual x only,
+    bit-identical values and gradients)."""
+    from .pool_s1_view_pallas import eligible, gate_on, s1_pool333_view_pallas
+
+    if (
+        gate_on()
+        and jax.default_backend() == "tpu"
+        and eligible(xv.shape, b, xv.dtype.itemsize)
+    ):
+        return s1_pool333_view_pallas(xv, b)
+    return _stride1_pool333_view_chain(xv, b)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _stride1_pool333_view_chain(xv: jax.Array, b: int) -> jax.Array:
     y, _ = _s1v_fwd_impl(xv, b)
     return y
 
@@ -825,7 +840,7 @@ def _s1v_vjp_bwd(b, res, dy):
     return (g,)
 
 
-stride1_pool333_view.defvjp(_s1v_vjp_fwd, _s1v_vjp_bwd)
+_stride1_pool333_view_chain.defvjp(_s1v_vjp_fwd, _s1v_vjp_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
