@@ -365,11 +365,13 @@ def s1_pool333_view_pallas(xv: jax.Array, b: int, interpret: bool = False):
 
 
 def _fwd_gate() -> bool:
-    """FLICKER_S1V_PALLAS_FWD=1 also routes the FORWARD through the Pallas
-    kernel.  Default off pending the chip A/B: the chain forward's max
-    stages fuse into neighboring conv epilogues, which a kernel boundary
-    cannot — the residual-traffic win lives in the backward."""
-    return os.environ.get("FLICKER_S1V_PALLAS_FWD", "0") == "1"
+    """FLICKER_S1V_PALLAS_FWD=0 restores the chain FORWARD (whose max
+    stages can fuse into neighboring conv epilogues).  Default ON: the
+    chip A/B (scripts/ab_headline_gate.py, 2026-08-20) measured the Pallas
+    forward as a further win on top of the Pallas backward — headline
+    18.36 -> 18.92 steps/s — the one-pass VMEM recompute beats the fused
+    chain's extra HBM traversals."""
+    return os.environ.get("FLICKER_S1V_PALLAS_FWD", "1") == "1"
 
 
 def _chain_fwd(xv, b):
@@ -402,7 +404,10 @@ s1_pool333_view_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def gate_on() -> bool:
-    """FLICKER_S1V_PALLAS=1 routes eligible stride1_pool333_view calls to
-    the fused kernels (TPU only; CPU keeps the chain so the gate is inert
-    in tests).  Default off until the chip A/B lands."""
-    return os.environ.get("FLICKER_S1V_PALLAS", "0") == "1"
+    """FLICKER_S1V_PALLAS=0 restores the separable-chain lowering for the
+    stride-1 view pools (TPU only either way; CPU keeps the chain so the
+    gate is inert in tests).  Default ON: chip A/B 2026-08-20 measured the
+    fused one-pass kernels at 16.79 -> 18.92 steps/s end to end on the
+    T=64 B=8 headline (the depth-5c step's 15.5 ms loop-fusion bucket is
+    the chain's ~18 HBM traversals per pool; the kernels do one)."""
+    return os.environ.get("FLICKER_S1V_PALLAS", "1") == "1"
