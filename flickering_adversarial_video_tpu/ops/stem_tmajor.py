@@ -687,6 +687,20 @@ def _pool_view_vjp_fwd(xv, interpret, block):
 
 
 def _pool_view_vjp_bwd(interpret, block, xv, dy):
+    # FLICKER_S2V_PALLAS=1: one-pass Pallas routing (x + dy read once, y
+    # recomputed in VMEM; ops/pool_s2_view_pallas.py) instead of XLA's
+    # select-and-scatter.  TPU-only so the gate is inert on CPU tests.
+    from .pool_s2_view_pallas import eligible as _s2v_ok
+    from .pool_s2_view_pallas import gate_on as _s2v_on
+    from .pool_s2_view_pallas import s2_pool_view_bwd_pallas
+
+    if (
+        not interpret
+        and _s2v_on()
+        and jax.default_backend() == "tpu"
+        and _s2v_ok(xv.shape, xv.dtype.itemsize)
+    ):
+        return (s2_pool_view_bwd_pallas(xv, dy),)
     # exactly the autodiff backward of the reduce-window path, on the view
     # (same (H, W) row-major first-match order); degrades to jax.vjp if the
     # private primitive disappears in a future JAX
