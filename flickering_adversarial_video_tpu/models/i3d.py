@@ -310,9 +310,10 @@ class TmajorUnit3D(nn.Module):
     output_channels: int
     kernel_shape: Tuple[int, int, int] = (1, 1, 1)
     compute_dtype: Any = jnp.float32
+    return_params: bool = False
 
     @nn.compact
-    def __call__(self, xv: jax.Array, b: int) -> jax.Array:
+    def __call__(self, xv: jax.Array, b: int):
         from ..ops.stem_tmajor import conv_bn_relu_tmajor
 
         kernel = _StemKernel(
@@ -320,9 +321,24 @@ class TmajorUnit3D(nn.Module):
             name="conv_3d",
         )()
         mean, var, bias = _BNVars(self.output_channels, name="batch_norm")()
+        if self.return_params:
+            # merged-branch mode (TmajorInceptionMixed): declare the unit's
+            # params under the usual tree path but let the CALLER run the
+            # conv (channel-concatenated with its sibling 1x1 branches)
+            return kernel, mean, var, bias
         return conv_bn_relu_tmajor(
             xv, kernel.astype(self.compute_dtype), mean, var, bias, b
         )
+
+
+def _merge11() -> bool:
+    """FLICKER_MIXED_MERGE11=1: run each Mixed block's three 1x1 branch
+    convs as one channel-concatenated conv (one input read instead of
+    three).  Default off pending the chip A/B; exactness vs the separate
+    convs in tests/test_mixed_merge11.py."""
+    import os
+
+    return os.environ.get("FLICKER_MIXED_MERGE11", "0") == "1"
 
 
 class TmajorInceptionMixed(nn.Module):
@@ -338,22 +354,53 @@ class TmajorInceptionMixed(nn.Module):
 
     @nn.compact
     def __call__(self, xv: jax.Array, b: int) -> jax.Array:
-        from ..ops.stem_tmajor import stride1_pool333_view
+        from ..ops.stem_tmajor import conv_bn_relu_tmajor, stride1_pool333_view
 
         c0, c1a, c1b, c2a, c2b, c3 = self.channels
         dt = self.compute_dtype
-        b0 = TmajorUnit3D(
-            c0, (1, 1, 1), compute_dtype=dt, name="Branch_0/Conv3d_0a_1x1"
-        )(xv, b)
-        b1 = TmajorUnit3D(
-            c1a, (1, 1, 1), compute_dtype=dt, name="Branch_1/Conv3d_0a_1x1"
-        )(xv, b)
+        if _merge11():
+            # FLICKER_MIXED_MERGE11: the three 1x1 branch convs read the
+            # SAME input — run them as ONE channel-concatenated conv+BN+relu
+            # (one x traversal instead of three, and the tiny-Cout branches
+            # (16-64 lanes) ride the wide conv's MXU fill).  Param tree
+            # unchanged (return_params mode); math is the same per-output-
+            # channel contraction over Cin.
+            k0, m0, v0, g0 = TmajorUnit3D(
+                c0, (1, 1, 1), compute_dtype=dt,
+                name="Branch_0/Conv3d_0a_1x1", return_params=True,
+            )(xv, b)
+            k1, m1, v1, g1 = TmajorUnit3D(
+                c1a, (1, 1, 1), compute_dtype=dt,
+                name="Branch_1/Conv3d_0a_1x1", return_params=True,
+            )(xv, b)
+            k2, m2, v2, g2 = TmajorUnit3D(
+                c2a, (1, 1, 1), compute_dtype=dt,
+                name="Branch_2/Conv3d_0a_1x1", return_params=True,
+            )(xv, b)
+            ycat = conv_bn_relu_tmajor(
+                xv,
+                jnp.concatenate([k0, k1, k2], axis=-1).astype(dt),
+                jnp.concatenate([m0, m1, m2]),
+                jnp.concatenate([v0, v1, v2]),
+                jnp.concatenate([g0, g1, g2]),
+                b,
+            )
+            b0 = ycat[:, :, :c0]
+            b1 = ycat[:, :, c0 : c0 + c1a]
+            b2 = ycat[:, :, c0 + c1a :]
+        else:
+            b0 = TmajorUnit3D(
+                c0, (1, 1, 1), compute_dtype=dt, name="Branch_0/Conv3d_0a_1x1"
+            )(xv, b)
+            b1 = TmajorUnit3D(
+                c1a, (1, 1, 1), compute_dtype=dt, name="Branch_1/Conv3d_0a_1x1"
+            )(xv, b)
+            b2 = TmajorUnit3D(
+                c2a, (1, 1, 1), compute_dtype=dt, name="Branch_2/Conv3d_0a_1x1"
+            )(xv, b)
         b1 = TmajorUnit3D(
             c1b, (3, 3, 3), compute_dtype=dt, name="Branch_1/Conv3d_0b_3x3"
         )(b1, b)
-        b2 = TmajorUnit3D(
-            c2a, (1, 1, 1), compute_dtype=dt, name="Branch_2/Conv3d_0a_1x1"
-        )(xv, b)
         b2 = TmajorUnit3D(
             c2b,
             (3, 3, 3),
