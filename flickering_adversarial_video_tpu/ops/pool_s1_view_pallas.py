@@ -101,6 +101,21 @@ def _shift_t(x, s_units, b, fill):
     return jnp.where(valid, rolled, jnp.full_like(x, fill))
 
 
+def _shift_t_f32(xf, s_units, b, fill):
+    """_shift_t for an ALREADY-f32 operand, staying in f32 — the T-stage
+    candidates need f32 for the routing compares anyway, so sharing one
+    upcast saves 2-3 full-tensor casts per candidate (pure data movement,
+    bit-identical: f32 represents every bf16 exactly)."""
+    if s_units == 0:
+        return xf
+    n = xf.shape[3]
+    s = s_units * b
+    rolled = pltpu.roll(xf, shift=(-s) % n, axis=3)
+    lanes = _lane_idx(n)
+    valid = lanes < (n - s) if s > 0 else lanes >= -s
+    return jnp.where(valid, rolled, jnp.full_like(xf, fill))
+
+
 def _max_w(x):
     neg = _neg_inf(x.dtype)
     return jnp.maximum(jnp.maximum(x, _shift_w(x, 1, neg)), _shift_w(x, -1, neg))
@@ -130,7 +145,15 @@ def _fwd_kernel(x_ref, xt_ref, xb_ref, o_ref, *, b, h, hb):
     m_w = _max_w(xe)
     # m_hw[m] = max(m_w[m], m_w[m+1], m_w[m+2]) -> global row r0+1+m = i*hb+m
     m_hw = jnp.maximum(jnp.maximum(m_w[:hb], m_w[1 : hb + 1]), m_w[2 : hb + 2])
-    o_ref[...] = _max_t(m_hw, b)
+    # T stage on a single shared f32 upcast (the rolls need 32-bit anyway;
+    # f32 max of exact bf16 values == bf16 max, so the downcast is exact)
+    neg = -jnp.inf
+    mf = _f32(m_hw)
+    yf = jnp.maximum(
+        jnp.maximum(mf, _shift_t_f32(mf, 1, b, neg)),
+        _shift_t_f32(mf, -1, b, neg),
+    )
+    o_ref[...] = yf.astype(o_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +180,6 @@ def _bwd_kernel(
     m_hw = jnp.maximum(
         jnp.maximum(m_w[: hb + 2], m_w[1 : hb + 3]), m_w[2 : hb + 4]
     )
-    y = _max_t(m_hw, b)                               # recomputed, bit-same
 
     # dy rows r0-1 .. r0+hb, out-of-range rows contribute zero gradient
     dye = jnp.concatenate([dyt_ref[...], dy_ref[...], dyb_ref[...]], axis=0)
@@ -165,20 +187,20 @@ def _bwd_kernel(
 
     # ---- T routing: window t-1, t, t+1 in ascending order --------------
     # (matches _route_axis on the 5-D T' dim: dx[t] = sum_k contrib_k[t+1-k],
-    # cand_k[t] = m_hw[t+k-1], first-match over ascending k)
-    yf = _f32(y)
-    n = y.shape[3]
-    lanes = _lane_idx(n)
+    # cand_k[t] = m_hw[t+k-1], first-match over ascending k).
+    # y is recomputed from the SAME three f32 candidates (f32 represents
+    # every bf16 exactly, so this equals the forward's bf16 _max_t bit for
+    # bit), and no explicit lane edge masks are needed: the shifts fill
+    # past-the-edge lanes with -inf, which can never equal the finite
+    # pooled maximum.
+    m_hw_f = _f32(m_hw)
+    cands = [_shift_t_f32(m_hw_f, s, b, neg) for s in (-1, 0, 1)]
+    yf = jnp.maximum(jnp.maximum(cands[0], cands[1]), cands[2])
     gt = None
     taken = None
     for k in range(3):
         s = k - 1  # candidate = m_hw[t + s]
-        cand = _f32(_shift_t(m_hw, s, b, neg))
-        eq = cand == yf
-        if s < 0:
-            eq = eq & (lanes >= b)
-        elif s > 0:
-            eq = eq & (lanes < n - s * b)
+        eq = cands[k] == yf
         if taken is not None:
             eq = eq & ~taken
         taken = eq if taken is None else taken | eq
@@ -190,7 +212,6 @@ def _bwd_kernel(
     # cand_k at pooled row j (global r0-1+j) is m_w[j+k] (global r0-2+j+k);
     # first-match over ascending k; source-row gradient
     # g_w[m] = sum_k contrib_k[m + 2 - k]  (m = 0..hb-1, global row r0+m).
-    m_hw_f = _f32(m_hw)
     m_w_f = _f32(m_w)
     taken = None
     contribs = []
@@ -230,12 +251,27 @@ def _bwd_kernel(
 
 
 def _pick_blocks(h, w, c, n, itemsize):
-    """(hb, ct): rows per block / channel tile.  The backward holds ~6
-    live (hb+4)-row temporaries (several upcast to f32); keep the padded
-    xe block under ~1.5 MB."""
-    budget = 1.5 * 2**20
+    """(hb, ct): rows per block / channel tile.
+
+    The 4 halo rows are pure re-read overhead, so the first-order cost
+    model is halo redundancy (hb+4)/hb: prefer the TALLEST block that
+    fits, then the widest channel tile.  The round-3 default capped the
+    padded block at 1.5 MB (hb=2 on the Mixed_3b/3c shapes = 3x redundant
+    x reads); the chip A/B (scripts/ab_s1v_blocks.py, 2026-08-20) measured
+    taller blocks strictly faster — Mixed_3b bwd 1.52 -> 1.12 ms at
+    (14,16), Mixed_3c 2.05 -> 1.49, Mixed_4x 0.51 -> 0.27 at (14,64) —
+    up to a hard Mosaic ceiling: padded blocks >= ~7 MB crash
+    tpu_compile_helper (every (4,64)/(14,32)@W28/(28,16) config), so the
+    default budget sits at 5.5 MB, just above the largest measured-good
+    block (5.04 MB).  FLICKER_S1V_BLOCK_MB / FLICKER_S1V_BLOCKS override
+    for re-measurement."""
+    forced = os.environ.get("FLICKER_S1V_BLOCKS", "")
+    if forced:
+        hb, ct = (int(v) for v in forced.split(","))
+        return (hb, ct) if (h % hb == 0 and c % ct == 0) else None
+    budget = float(os.environ.get("FLICKER_S1V_BLOCK_MB", "5.5")) * 2**20
     best = None
-    for hb in (8, 7, 4, 2):
+    for hb in (28, 16, 14, 8, 7, 4, 2):
         if h % hb:
             continue
         for ct in (128, 96, 64, 48, 32, 16):
@@ -243,12 +279,13 @@ def _pick_blocks(h, w, c, n, itemsize):
                 continue
             if (hb + 4) * w * ct * n * itemsize > budget:
                 continue
-            key = (hb * ct, hb)
-            if best is None or key > best[0]:
-                best = (key, hb, ct)
+            # rank: least halo redundancy first, then widest channel tile
+            key = (hb, ct)
+            if best is None or key > (best[0], best[1]):
+                best = (hb, ct)
     if best is None:
         return None
-    return best[1], best[2]
+    return best
 
 
 def eligible(shape, b, itemsize: int = 2) -> bool:

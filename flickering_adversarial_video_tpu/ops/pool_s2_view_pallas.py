@@ -100,9 +100,12 @@ def _bwd_kernel(
     m_w = jnp.maximum(jnp.maximum(ev, od), ev_n)      # (2hb+3, wo, ct, n)
 
     # ---- pooled outputs for rows o0-1 .. o0+hb-1 -------------------------
-    # output j (global o0-1+j) covers m_w local rows 2j, 2j+1, 2j+2
-    k0 = m_w[0 : 2 * hb + 2 : 2]                      # (hb+1, wo, ...)
-    k1 = m_w[1 : 2 * hb + 3 : 2]
+    # output j (global o0-1+j) covers m_w local rows 2j, 2j+1, 2j+2.
+    # Step-2 row slices are written as parity reshapes on the MAJOR dim
+    # (m_w[a:b:2] lowers to a >2-D gather in Mosaic; the reshape is free).
+    m_par = m_w[0 : 2 * hb + 2].reshape(hb + 1, 2, *m_w.shape[1:])
+    k0 = m_par[:, 0]                                  # (hb+1, wo, ...)
+    k1 = m_par[:, 1]
     k2 = jnp.concatenate([k0[1:], m_w[2 * hb + 2 :]], axis=0)
     y = jnp.maximum(jnp.maximum(k0, k1), k2)
 
@@ -129,11 +132,16 @@ def _bwd_kernel(
 
     # ---- W routing on the block rows, per H parity -----------------------
     # candidates at output col u: x cols 2u, 2u+1, 2u+2 == ev, od, ev_n
-    xc_e = _f32(ev[2 : 2 * hb + 2 : 2])               # block even rows
-    xc_o = _f32(od[2 : 2 * hb + 2 : 2])
-    xc_n = _f32(ev_n[2 : 2 * hb + 2 : 2])
-    pw = _f32(m_w[2 : 2 * hb + 2])                    # (2hb, wo, ...)
-    pw_e, pw_o = pw[0::2], pw[1::2]
+    # (same parity-reshape spelling as above for all step-2 row picks)
+    def rows_par(a):
+        return a[2 : 2 * hb + 2].reshape(hb, 2, *a.shape[1:])
+
+    ev_p, od_p, ev_n_p = rows_par(ev), rows_par(od), rows_par(ev_n)
+    xc_e = _f32(ev_p[:, 0])                           # block even rows
+    xc_o = _f32(od_p[:, 0])
+    xc_n = _f32(ev_n_p[:, 0])
+    pw_par = rows_par(m_w)                            # (hb, 2, wo, ...)
+    pw_e, pw_o = _f32(pw_par[:, 0]), _f32(pw_par[:, 1])
 
     def route_w(g, pwr, ce, co, cn):
         """First-match over window cols k = 0, 1, 2; returns the dx
@@ -152,9 +160,9 @@ def _bwd_kernel(
     e_ev, e_od = route_w(g_even, pw_e, xc_e, xc_o, xc_n)
     o_ev, o_od = route_w(
         g_odd, pw_o,
-        _f32(ev[3 : 2 * hb + 2 : 2]),
-        _f32(od[3 : 2 * hb + 2 : 2]),
-        _f32(ev_n[3 : 2 * hb + 2 : 2]),
+        _f32(ev_p[:, 1]),
+        _f32(od_p[:, 1]),
+        _f32(ev_n_p[:, 1]),
     )
 
     # ---- interleave parities back to the (2hb, W) block ------------------

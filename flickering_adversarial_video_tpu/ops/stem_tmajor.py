@@ -135,9 +135,28 @@ def stem_bn_relu_tmajor(xv, pk, mean, var, bias, b, eps=1e-3):
     return _bn_relu_view(_stem_fwd_view(xv, pk, b), mean, var, bias, eps)
 
 
+def _res_y(y):
+    """The saved relu output, pinned behind an optimization barrier.
+
+    Without the barrier XLA's algebraic simplifier rewrites the backward's
+    mask `y > 0` into `pre > 0` (valid for y = max(pre, 0)) — which forces
+    the conv+BN+relu fusion to materialize the PRE-activation as a second
+    full-tensor output next to y (the depth-5c xplane's dual-output
+    broadcast_maximum_fusions: +206 MB write at the stem alone).  The
+    barrier pins the residual to the tensor the VJP declared; it aliases y,
+    so the forward emits one output and the backward reads it back.
+    Same fix as the head's FLICKER_TMAJOR_MASK_BARRIER (PERF.md round 3);
+    FLICKER_CBR_Y_BARRIER=0 restores the round-3 behavior for A/B."""
+    import os
+
+    if os.environ.get("FLICKER_CBR_Y_BARRIER", "1") == "1":
+        return lax.optimization_barrier(y)
+    return y
+
+
 def _tmajor_fwd(xv, pk, mean, var, bias, b, eps):
     y = _bn_relu_view(_stem_fwd_view(xv, pk, b), mean, var, bias, eps)
-    return y, (pk, var, y)
+    return y, (pk, var, _res_y(y))
 
 
 def _catbwd_lane_combine(g2, kt, b, t_plo, sp_bwd):
@@ -243,7 +262,7 @@ def conv_bn_relu_tmajor(xv, kt, mean, var, bias, b, eps=1e-3):
 
 def _cbr_fwd(xv, kt, mean, var, bias, b, eps):
     y = _bn_relu_view(_conv_fwd_view(xv, kt, b), mean, var, bias, eps)
-    return y, (kt, var, y)
+    return y, (kt, var, _res_y(y))
 
 
 def _cbr_bwd(b, eps, res, g):

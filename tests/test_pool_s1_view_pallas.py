@@ -131,7 +131,8 @@ class TestFusedViewPool:
         ]:
             hb, ct = _pick_blocks(h, w, c, n, 2)
             assert h % hb == 0 and c % ct == 0 and ct % 16 == 0
-            assert (hb + 4) * w * ct * n * 2 <= 1.5 * 2**20
+            # padded block stays under the (env-tunable) VMEM budget
+            assert (hb + 4) * w * ct * n * 2 <= 8 * 2**20
 
     def test_off_gate_is_inert_on_cpu(self, rng, monkeypatch):
         """On CPU the dispatcher must keep the chain even with the env gate
