@@ -171,24 +171,24 @@ def _catbwd_lane_combine(g2, kt, b, t_plo, sp_bwd):
     g2: [H, W, Cout, T'B]; kt: [KT, kh, kw, Cin, Cout]; sp_bwd: transposed
     spatial pads ((kh-1-pl, kh-1-ph), ...)."""
     n_taps, _, _, cin, _ = kt.shape
-    kflip = jnp.flip(kt, axis=(1, 2)).swapaxes(-1, -2)  # [KT,kh,kw,Cout,Cin]
-    kcat = jnp.concatenate([kflip[m] for m in range(n_taps)], axis=-1)
-    part = _tap_conv(g2, kcat, sp_bwd)  # [H, W, KT*Cin, T'B]
+    part = _catbwd_part(g2, kt, sp_bwd)
     tb = part.shape[3]
     acc = None
     for m in range(n_taps):
         blk = lax.slice_in_dim(part, m * cin, (m + 1) * cin, axis=2)
-        s = (t_plo - m) * b
-        if s > 0:
-            sl = lax.slice_in_dim(blk, s, tb, axis=3)
-            sl = jnp.pad(sl, ((0, 0), (0, 0), (0, 0), (0, s)))
-        elif s < 0:
-            sl = lax.slice_in_dim(blk, 0, tb + s, axis=3)
-            sl = jnp.pad(sl, ((0, 0), (0, 0), (0, 0), (-s, 0)))
-        else:
-            sl = blk
+        sl = _lane_shift(blk, (t_plo - m) * b, 0)
         acc = sl if acc is None else acc + sl
     return acc
+
+
+def _catbwd_part(g2, kt, sp_bwd):
+    """The wide conv of _catbwd_lane_combine WITHOUT the temporal combine:
+    returns part [H, W, KT*Cin, T'B] (tap m's input-gradient block in
+    channels [m*Cin, (m+1)*Cin), still at unshifted lanes)."""
+    n_taps = kt.shape[0]
+    kflip = jnp.flip(kt, axis=(1, 2)).swapaxes(-1, -2)  # [KT,kh,kw,Cout,Cin]
+    kcat = jnp.concatenate([kflip[m] for m in range(n_taps)], axis=-1)
+    return _tap_conv(g2, kcat, sp_bwd)
 
 
 def _tmajor_bwd(b, eps, res, g):
@@ -504,7 +504,7 @@ def _head_fwd_impl(
     yv = _bn_relu_view(
         _stem_fwd_view(advT, pk, b), bn_mean, bn_var, bn_bias, 1e-3
     )
-    res = (pk, bn_var, yv, mask2T, dpk, adv_flag, delta_applied.shape, b)
+    res = (pk, bn_var, _res_y(yv), mask2T, dpk, adv_flag, delta_applied.shape, b)
     return yv.reshape(h, w, pk.shape[-1], t, b), res
 
 
@@ -524,6 +524,8 @@ def _head_vjp_bwd(input_min, input_max, out_dtype, res, g):
 
 
 def _head_bwd_core(res, g):
+    import os
+
     pk, bn_var, yv, mask2T, dpk, adv_flag, delta_shape, b, u8_shape = res
     h, w, cout, t, _ = g.shape
     cin = pk.shape[-2]
@@ -531,11 +533,32 @@ def _head_bwd_core(res, g):
     g4 = g.reshape(h, w, cout, t * b).astype(pk.dtype)
     vdt = bn_var.astype(pk.dtype)[:, None]
     g2 = g4 * (yv > 0) * lax.rsqrt(vdt + jnp.asarray(1e-3, pk.dtype))
-    # concat-kernel backward + lane-shift combine (see _catbwd_lane_combine)
-    dadv = _catbwd_lane_combine(g2, pk, b, 1, [(2, 1), (2, 1)])
-    # masked reduce straight to d(delta): the f32 d(adv) tensor never exists
-    dm = dadv.astype(jnp.float32) * (mask2T.astype(jnp.float32) * 0.5)
-    s_ct = jnp.sum(dm, axis=(0, 1))  # [8C, T'B]
+    if os.environ.get("FLICKER_HEAD_FUSED_REDUCE", "1") == "1":
+        # Push the temporal lane-shift combine INTO the masked reduce: the
+        # combined d(adv) tensor never exists — each lane-shifted tap block
+        # of the wide conv's `part` is multiplied by the clip mask and
+        # reduced over (H, W) directly.  The shifted blk reads are slices
+        # that fuse into the reduce loop (part is still touched once per
+        # element), killing the ~2 ms chain that materialized the shifted
+        # sum ([112,112,24,248] pair + slice, xplane 2026-08-20) just to
+        # feed this [8C, T'B] reduce.  The four per-tap partial reduces
+        # accumulate in f32 instead of the bf16 pre-adds of the combined
+        # path — gradients agree to reassociation (the stem_conv_catbwd
+        # contract); the old path stays at FLICKER_HEAD_FUSED_REDUCE=0.
+        part = _catbwd_part(g2, pk, [(2, 1), (2, 1)])
+        maskf = mask2T.astype(jnp.float32) * 0.5
+        s_ct = None
+        for m in range(pk.shape[0]):
+            blk = lax.slice_in_dim(part, m * cin, (m + 1) * cin, axis=2)
+            blk = _lane_shift(blk, (1 - m) * b, 0)  # dadv tap m: blk[v+s_m]
+            term = jnp.sum(blk.astype(jnp.float32) * maskf, axis=(0, 1))
+            s_ct = term if s_ct is None else s_ct + term
+    else:
+        # concat-kernel backward + lane-shift combine (_catbwd_lane_combine)
+        dadv = _catbwd_lane_combine(g2, pk, b, 1, [(2, 1), (2, 1)])
+        # masked reduce straight to d(delta): the f32 d(adv) never exists
+        dm = dadv.astype(jnp.float32) * (mask2T.astype(jnp.float32) * 0.5)
+        s_ct = jnp.sum(dm, axis=(0, 1))  # [8C, T'B]
     s_tb = jnp.sum(s_ct.reshape(cin, t, b), axis=-1)  # [8C, T']
     flag32 = jnp.asarray(adv_flag, jnp.float32)
     d_dpk = flag32 * s_tb.T  # [T', 8C]
@@ -604,7 +627,7 @@ def _head_view_fwd_impl(
     yv = _bn_relu_view(
         _stem_fwd_view(advT, pk, b), bn_mean, bn_var, bn_bias, 1e-3
     )
-    res = (pk, bn_var, yv, mask2T, dpk, adv_flag, delta_applied.shape, b)
+    res = (pk, bn_var, _res_y(yv), mask2T, dpk, adv_flag, delta_applied.shape, b)
     return yv.reshape(h, w, pk.shape[-1], t, b), res
 
 
