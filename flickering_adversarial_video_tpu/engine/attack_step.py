@@ -322,18 +322,20 @@ class AttackEngine:
         )
 
         if self.config.norm_world == "meanstd":
-            from ..ops.packed_apply import torch_packed_clean
+            from ..ops.packed_apply import torch_pack_factor, torch_packed_clean
 
             if prepacked:
                 raise ValueError(
                     "host-prepacked batches are a tanh-world (tfrecord) "
                     "pipeline feature; the torch world packs on device"
                 )
+            factor = torch_pack_factor(video.shape, self.apply_packed_fn)
             if delta is None:
                 # reference clean forward: normalize only, no clamp
                 # (Perturbation.forward returns x when adversarial=False)
                 clean_packed = torch_packed_clean(
-                    video, tuple(self.spec.mean), tuple(self.spec.std)
+                    video, tuple(self.spec.mean), tuple(self.spec.std),
+                    jnp.float32, factor,
                 )
                 return self.apply_packed_fn(self.variables, clean_packed)
             lo, hi = self.spec.clamp_range
@@ -346,6 +348,8 @@ class AttackEngine:
                 tuple(self.spec.std),
                 lo,
                 hi,
+                jnp.float32,
+                factor,
             )
             return self.apply_packed_fn(self.variables, adv_packed)
 

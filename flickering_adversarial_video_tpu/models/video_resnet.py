@@ -231,6 +231,64 @@ def _packed_spatial_conv(x, kernel, dt, prepacked=False):
     )
 
 
+def _deep_packed_spatial_conv(xp, kernel, dt):
+    """Stride-(*,2,2) stem conv on FACTOR-4 spatially packed input
+    ([B,T,H/4,W/4,16*Cin], pack_input_factors((1,4,4)) channel order) with
+    factor-2 packed output sub-positions ([..., H/4, W/4, 4*Cout], order
+    (s_h, s_w, Cout)).
+
+    Why: the classic 2x2 pack leaves 12-lane input / 45-lane mid tensors in
+    the r2plus1d stem — every HBM transaction on them is ~35% full, and the
+    backward's d(x_packed) conv (C_out=12) ran at 5.2 TF/s with the d(delta)
+    reduce fused behind it (xplane 2026-08-20: 2.6 + 1.2 ms).  At 16x pack
+    the dgrad fills 48 lanes and the mid tensor 180; the 12*12 receptive
+    window costs 2.25x the classic pack's structural MACs, which the fill
+    buys back several times over on these pathological shapes."""
+    from ..ops.space_to_depth import pack_conv_spatial_s2
+
+    kp, pad_h, pad_w = pack_conv_spatial_s2(kernel, 3, 3)
+    kt = kernel.shape[0]
+    pad_t = (kt // 2, kt // 2) if kt > 1 else (0, 0)
+    return jax.lax.conv_general_dilated(
+        xp,
+        kp.astype(dt),
+        window_strides=(1, 1, 1),
+        padding=[pad_t, pad_h, pad_w],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=dt,
+    )
+
+
+class _BNParams(nn.Module):
+    """BatchNorm parameter holder with nn.BatchNorm's exact variable paths
+    (params/<name>/{scale,bias}, batch_stats/<name>/{mean,var}) for manual
+    tiled application on packed-channel tensors."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (self.c,), jnp.float32
+        )
+        var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (self.c,), jnp.float32
+        )
+        return scale, bias, mean.value, var.value
+
+
+def _bn_tiled(x, bn_params, tile, dt, eps=1e-5):
+    """Inference BatchNorm applied with each [C] vector tiled `tile`x on the
+    packed channel dim (sub-position-major order).  Same op order as flax
+    BatchNorm._normalize: y = (x - mean) * (rsqrt(var+eps) * scale) + bias,
+    promoted to the compute dtype."""
+    scale, bias, mean, var = (jnp.tile(v, tile).astype(dt) for v in bn_params)
+    mul = jax.lax.rsqrt(var + jnp.asarray(eps, dt)) * scale
+    return (x.astype(dt) - mean) * mul + bias
+
+
 def _stem_can_pack(x) -> bool:
     return x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
 
@@ -266,6 +324,34 @@ class R2Plus1DStem(nn.Module):
     @nn.compact
     def __call__(self, x):
         dt = self.compute_dtype
+        if self.prepacked_input and x.shape[-1] == 48:
+            # deep (factor-4) spatial pack: conv_s with packed output
+            # sub-positions (the 48-lane dgrad / 180-lane mid fix),
+            # BN/relu/conv_t applied packed (conv_t is spatially pointwise
+            # -> block-diagonal over the 4 sub-positions), one
+            # depth-to-space at the stem exit.  Unpacking straight after
+            # conv_s instead measured WORSE (22.6 vs 23.6 steps/s chip A/B
+            # 2026-08-20): the two depth-to-space transposes on the mid
+            # tensor cost more than the 45-channel fill tax they avoid.
+            from ..ops.space_to_depth import depth_to_space_hw
+
+            kernel = _Kernel((1, 7, 7, 3, 45), name="conv_s")()
+            x = _deep_packed_spatial_conv(x, kernel, dt)  # [B,T,H/4,W/4,180]
+            x = _bn_tiled(x, _BNParams(45, name="bn_s")(), 4, dt)
+            x = nn.relu(x)
+            kt = _Kernel((3, 1, 1, 45, 64), name="conv_t")()
+            ktp = jnp.einsum("ab,tuvio->tuvaibo", jnp.eye(4, dtype=kt.dtype), kt)
+            ktp = ktp.reshape(3, 1, 1, 180, 256)
+            x = jax.lax.conv_general_dilated(
+                x,
+                ktp.astype(dt),
+                window_strides=(1, 1, 1),
+                padding=[(1, 1), (0, 0), (0, 0)],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=dt,
+            )
+            x = _bn_tiled(x, _BNParams(64, name="bn_t")(), 4, dt)
+            return depth_to_space_hw(nn.relu(x), 2)
         if self.prepacked_input:
             cin = x.shape[-1] // 4
             kernel = _Kernel((1, 7, 7, cin, 45), name="conv_s")()
@@ -377,4 +463,9 @@ def make_packed_apply_fn(
     packed_model = VideoResNet(
         variant, num_classes, compute_dtype, prepacked_stem_input=True
     )
-    return lambda variables, packed_x: packed_model.apply(variables, packed_x)
+    fn = lambda variables, packed_x: packed_model.apply(variables, packed_x)
+    # advertise deep (factor-4) stem support to the engine's pack-factor
+    # choice (ops/packed_apply.torch_pack_factor): the r2plus1d stems accept
+    # the 48-channel deep layout, the r3d/mc3 3-D stems keep the classic 2x2
+    fn.deep_stem = variant.startswith("r2plus1d")
+    return fn

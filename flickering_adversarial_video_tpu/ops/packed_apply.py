@@ -296,35 +296,71 @@ flicker_stem_head.defvjp(_head_fwd, _head_bwd)
 # packed space the delta cotangent reduces without ever unpacking.
 
 
-def packable_spatial(video_shape: Tuple[int, ...]) -> bool:
-    """[B,T,H,W,C] with even H/W (T may be anything: spatial-only pack)."""
+def packable_spatial(video_shape: Tuple[int, ...], factor: int = 2) -> bool:
+    """[B,T,H,W,C] with factor-divisible H/W (spatial-only pack)."""
     return (
         len(video_shape) == 5
-        and video_shape[2] % 2 == 0
-        and video_shape[3] % 2 == 0
+        and video_shape[2] % factor == 0
+        and video_shape[3] % factor == 0
     )
 
 
-def _pack_u8_spatial(video_u8):
-    return jax.lax.optimization_barrier(pack_input(video_u8, axes=(2, 3)))
+def torch_pack_factor(video_shape, apply_packed_fn) -> int:
+    """The spatial pack factor for the torch world: FLICKER_TORCH_DEEPSTEM=1
+    selects 4 (16x channels) when the victim's packed forward supports the
+    deep stem (r2plus1d stems — the fn advertises it) and H/W divide by 4.
+
+    Default OFF: the chip A/B (2026-08-20, r2plus1d_18 T=16 B=16) measured
+    the deep pack NEUTRAL at best.  It does fix the targeted pathology —
+    the d(x_packed) dgrad + d(delta) reduce chain went 2.6 ms @ 5.2 TF/s
+    -> 0.7 ms @ 42 TF/s (48 output lanes instead of 12) — but the stem-exit
+    depth-to-space (dual forwards + its transpose in the backward, ~2 ms)
+    buys it all back: 23.59 (classic) vs 23.55 (deep, block-diag conv_t)
+    vs 22.62 (deep, unpack after conv_s).  The 12-lane chain is priced by
+    MXU fill; every exact reformulation (batch-grouped weight-grad view,
+    mask-split linearity) keeps the same 12x45 output tile, so the classic
+    pack stays the default and the deep path is kept as measured, tested
+    infrastructure."""
+    import os
+
+    deep_ok = getattr(apply_packed_fn, "deep_stem", False)
+    if (
+        deep_ok
+        and os.environ.get("FLICKER_TORCH_DEEPSTEM", "0") == "1"
+        and packable_spatial(video_shape, 4)
+    ):
+        return 4
+    return 2
 
 
-def _tile4(v):
-    """Per-channel vector [C] -> packed-channel vector [4C] ((ph, pw, c))."""
-    return jnp.tile(jnp.asarray(v, jnp.float32), 4)
+def _pack_u8_spatial(video_u8, factor: int = 2):
+    if factor == 2:
+        return jax.lax.optimization_barrier(pack_input(video_u8, axes=(2, 3)))
+    from .space_to_depth import pack_input_factors
+
+    return jax.lax.optimization_barrier(
+        pack_input_factors(video_u8, (1, factor, factor))
+    )
+
+
+def _tile4(v, factor: int = 2):
+    """Per-channel vector [C] -> packed-channel vector [f*f*C]
+    ((parity_h, parity_w, c) order)."""
+    return jnp.tile(jnp.asarray(v, jnp.float32), factor * factor)
 
 
 def _torch_packed_math(
-    packed_u8, delta, adv_flag, max_norm, mean, std, clamp_lo, clamp_hi, out_dtype
+    packed_u8, delta, adv_flag, max_norm, mean, std, clamp_lo, clamp_hi,
+    out_dtype, factor=2,
 ):
     """Packed-space apply_perturbation_torch_style (model.py:80-101)."""
     c = len(mean)
     x = packed_u8.astype(jnp.float32) / 255.0
-    x = (x - _tile4(mean)) / _tile4(std)
+    x = (x - _tile4(mean, factor)) / _tile4(std, factor)
     max_norm = jnp.asarray(max_norm, jnp.float32)
     d = jnp.clip(delta, -max_norm, max_norm) / jnp.asarray(std, jnp.float32)
     t = delta.shape[0]
-    dpk = jnp.tile(d.reshape(t, 1, 1, c), (1, 1, 1, 4))
+    dpk = jnp.tile(d.reshape(t, 1, 1, c), (1, 1, 1, factor * factor))
     adv = x + jnp.asarray(adv_flag, jnp.float32) * dpk[None]
     return jnp.clip(adv, clamp_lo, clamp_hi).astype(out_dtype)
 
@@ -334,17 +370,18 @@ def torch_packed_clean(
     mean: Tuple[float, ...],
     std: Tuple[float, ...],
     out_dtype=jnp.float32,
+    factor: int = 2,
 ) -> jax.Array:
     """Packed clean forward input: normalize only, NO clamp — the reference's
     Perturbation.forward returns x untouched when adversarial=False
     (model.py:82-83)."""
-    packed_u8 = _pack_u8_spatial(video_u8)
+    packed_u8 = _pack_u8_spatial(video_u8, factor)
     x = packed_u8.astype(jnp.float32) / 255.0
-    x = (x - _tile4(mean)) / _tile4(std)
+    x = (x - _tile4(mean, factor)) / _tile4(std, factor)
     return x.astype(out_dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def apply_torch_flicker_packed(
     video_u8: jax.Array,
     delta: jax.Array,
@@ -355,30 +392,35 @@ def apply_torch_flicker_packed(
     clamp_lo: float,
     clamp_hi: float,
     out_dtype=jnp.float32,
+    factor: int = 2,
 ) -> jax.Array:
     """Fused uint8 mean/std-normalize + torch-style flicker apply, spatially
-    packed: [B,T,H,W,C] u8 -> [B,T,H/2,W/2,4C] for a prepacked-stem
-    video-ResNet.  delta is the RAW [T,1,1,C] perturbation (the max_norm
-    clamp and /std happen inside, as Perturbation.forward does)."""
-    packed_u8 = _pack_u8_spatial(video_u8)
+    packed: [B,T,H,W,C] u8 -> [B,T,H/f,W/f,f*f*C] for a prepacked-stem
+    video-ResNet (f=2 classic, f=4 deep stem).  delta is the RAW [T,1,1,C]
+    perturbation (the max_norm clamp and /std happen inside, as
+    Perturbation.forward does)."""
+    packed_u8 = _pack_u8_spatial(video_u8, factor)
     return _torch_packed_math(
-        packed_u8, delta, adv_flag, max_norm, mean, std, clamp_lo, clamp_hi, out_dtype
+        packed_u8, delta, adv_flag, max_norm, mean, std, clamp_lo, clamp_hi,
+        out_dtype, factor,
     )
 
 
-def _torch_fwd(video_u8, delta, adv_flag, max_norm, mean, std, lo, hi, out_dtype):
-    packed_u8 = _pack_u8_spatial(video_u8)
+def _torch_fwd(
+    video_u8, delta, adv_flag, max_norm, mean, std, lo, hi, out_dtype, factor=2
+):
+    packed_u8 = _pack_u8_spatial(video_u8, factor)
     out = _torch_packed_math(
-        packed_u8, delta, adv_flag, max_norm, mean, std, lo, hi, out_dtype
+        packed_u8, delta, adv_flag, max_norm, mean, std, lo, hi, out_dtype, factor
     )
     return out, (packed_u8, delta, adv_flag, max_norm, video_u8.shape)
 
 
-def _torch_bwd(mean, std, lo, hi, out_dtype, res, g):
+def _torch_bwd(mean, std, lo, hi, out_dtype, factor, res, g):
     packed_u8, delta, adv_flag, max_norm, video_shape = res
     _, vjp = jax.vjp(
         lambda d, a, m: _torch_packed_math(
-            packed_u8, d, a, m, mean, std, lo, hi, out_dtype
+            packed_u8, d, a, m, mean, std, lo, hi, out_dtype, factor
         ),
         delta,
         jnp.asarray(adv_flag, jnp.float32),

@@ -102,6 +102,58 @@ def pack_conv_spatial(
     return kp, pad_h, pad_w
 
 
+def _spread_matrix_s2(k: int, pad_lo: int):
+    """Per-axis spread map for a stride-2 conv on factor-4 packed input with
+    factor-2 packed output sub-positions.
+
+    Original: out[o] = sum_j x[2o + j - pad_lo] * K[j].  Packed: input cell
+    u holds x[4u + q] (q in 0..3), output cell U holds outputs o = 2U + s
+    (s in 0, 1).  Then 2(2U+s) + j - pad_lo = 4(U+m) + q with
+    m = floor((2s + j - pad_lo)/4), q = (2s + j - pad_lo) mod 4.
+
+    Returns (A [k, 2, n_taps, 4] 0/1 spread matrix, (pl, ph) packed pads).
+    """
+    mlo = (0 - pad_lo) // 4  # floor division (most negative r at j=0, s=0)
+    mhi = (2 + k - 1 - pad_lo) // 4
+    n = mhi - mlo + 1
+    A = np.zeros((k, 2, n, 4), dtype=np.float32)
+    for j in range(k):
+        for s in range(2):
+            r = 2 * s + j - pad_lo
+            A[j, s, (r // 4) - mlo, r % 4] = 1.0
+    return A, (-mlo, n - 1 - (-mlo))
+
+
+def pack_conv_spatial_s2(
+    kernel: jax.Array, pad_lo_h: int, pad_lo_w: int
+) -> Tuple[jax.Array, Tuple[int, int], Tuple[int, int]]:
+    """Pack a stride-(2,2) [kT, kH, kW, Cin, Cout] kernel for factor-4
+    spatial input packing with factor-2 output sub-position packing.
+
+    Returns kernel [kT, nH, nW, 16*Cin, 4*Cout] + packed pads.  Input
+    channel order (q_h, q_w, Cin) — matches pack_input_factors((1, 4, 4));
+    output channel order (s_h, s_w, Cout) — matches depth_to_space_hw(2).
+    The resulting conv runs stride (1, 1) over H/4 x W/4 cells."""
+    kt, kh, kw, cin, cout = kernel.shape
+    Ah, pad_h = _spread_matrix_s2(kh, pad_lo_h)
+    Aw, pad_w = _spread_matrix_s2(kw, pad_lo_w)
+    kp = jnp.einsum(
+        "jsmq,JSMQ,tjJio->tmMqQiSso",
+        jnp.asarray(Ah, kernel.dtype),
+        jnp.asarray(Aw, kernel.dtype),
+        kernel,
+    )
+    # dims: t, mh, mw, qh, qw, ci, sw, sh, co -> fix output order to
+    # (s_h, s_w, co) and fold
+    kp = kp.transpose(0, 1, 2, 3, 4, 5, 7, 6, 8)
+    nh, nw = Ah.shape[2], Aw.shape[2]
+    return (
+        kp.reshape(kt, nh, nw, 16 * cin, 4 * cout),
+        pad_h,
+        pad_w,
+    )
+
+
 def pack_input_factors(x: jax.Array, factors: Sequence[int]) -> jax.Array:
     """Pack (T, H, W) blocks of the given per-axis factors into channels.
 

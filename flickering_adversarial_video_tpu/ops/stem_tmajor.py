@@ -102,7 +102,25 @@ def _stem_fwd_view(xv: jax.Array, pk: jax.Array, b: int) -> jax.Array:
     [m*B, (m+T')*B) of the (B, 2B) zero-padded lane extent — four
     contiguous windows of ONE tensor (the whole point of T-major order).
     """
+    import os
+
     h, w, c, tb = xv.shape
+    if os.environ.get("FLICKER_STEM_CATFWD", "0") == "1":
+        # Concat-kernel FORWARD (mirror of _catbwd_lane_combine): one conv
+        # with all four tap kernels on output channels (4*64 = 256 = full
+        # MXU fill vs the 50% of the per-tap convs), then the temporal
+        # combine as lane shifts: y[v] = sum_m P_m[v + (m-1)*B].
+        # Trades a [H,W,4*Cout,T'B] intermediate for the MXU fill — A/B'd
+        # on the chip (see PERF.md round 4).
+        kcat = jnp.concatenate([pk[m] for m in range(4)], axis=-1)
+        part = _tap_conv(xv, kcat, [(1, 2), (1, 2)])
+        cout = pk.shape[-1]
+        y = None
+        for m in range(4):
+            blk = lax.slice_in_dim(part, m * cout, (m + 1) * cout, axis=2)
+            sl = _lane_shift(blk, (m - 1) * b, 0)
+            y = sl if y is None else y + sl
+        return y
     xpad = jnp.pad(xv, ((0, 0), (0, 0), (0, 0), (b, 2 * b)))
     y = None
     for m in range(4):

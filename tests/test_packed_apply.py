@@ -387,3 +387,108 @@ class TestPrepackGating:
         assert mk(None).view_input_eligible(32, frames) is False
         # odd frames -> never view
         assert engine.view_input_eligible(32, frames + 1) is False
+
+
+class TestTorchDeepStem:
+    """Factor-4 spatial pack for the r2plus1d stems (deep stem): the packed
+    conv with output sub-positions, the tiled BN, and the block-diagonal
+    conv_t must reproduce the unpacked stem; the engine's factor choice must
+    match advertised support + divisibility."""
+
+    def test_pack_conv_spatial_s2_matches_stride2(self, rng):
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            depth_to_space_hw,
+            pack_conv_spatial_s2,
+            pack_input_factors,
+        )
+
+        x = jnp.asarray(rng.standard_normal((2, 3, 16, 16, 3)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((1, 7, 7, 3, 5)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 2, 2), [(0, 0), (3, 3), (3, 3)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        kp, ph, pw = pack_conv_spatial_s2(k, 3, 3)
+        assert kp.shape == (1, 3, 3, 48, 20)
+        yp = jax.lax.conv_general_dilated(
+            pack_input_factors(x, (1, 4, 4)), kp, (1, 1, 1),
+            [(0, 0), ph, pw], dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(depth_to_space_hw(yp, 2)), np.asarray(ref),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_deep_prepacked_model_matches_unpacked(self, rng):
+        from flickering_adversarial_video_tpu.models.video_resnet import (
+            VideoResNet,
+        )
+        from flickering_adversarial_video_tpu.ops.space_to_depth import (
+            pack_input_factors,
+        )
+
+        model = VideoResNet("r2plus1d_18", 5, jnp.float32)
+        packed_model = VideoResNet(
+            "r2plus1d_18", 5, jnp.float32, prepacked_stem_input=True
+        )
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16, 3)))
+        x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 3)).astype(np.float32))
+        ref = model.apply(variables, x)
+        got = packed_model.apply(variables, pack_input_factors(x, (1, 4, 4)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_pack_factor_choice(self, monkeypatch):
+        from flickering_adversarial_video_tpu.ops.packed_apply import (
+            torch_pack_factor,
+        )
+
+        def fn_deep(v, x):
+            return x
+
+        fn_deep.deep_stem = True
+
+        def fn_classic(v, x):
+            return x
+
+        fn_classic.deep_stem = False
+
+        monkeypatch.setenv("FLICKER_TORCH_DEEPSTEM", "1")
+        assert torch_pack_factor((2, 4, 16, 16, 3), fn_deep) == 4
+        # H not divisible by 4 -> classic
+        assert torch_pack_factor((2, 4, 14, 14, 3), fn_deep) == 2
+        # no deep-stem support -> classic
+        assert torch_pack_factor((2, 4, 16, 16, 3), fn_classic) == 2
+
+    def test_deep_gate_default_off_and_grads_match(self, rng, monkeypatch):
+        """The deep pack defaults OFF (measured neutral at best on chip),
+        and both factors must produce the same d(delta)."""
+        from flickering_adversarial_video_tpu.ops.packed_apply import (
+            apply_torch_flicker_packed,
+            torch_pack_factor,
+        )
+
+        def fn(v, x):
+            return x
+
+        fn.deep_stem = True
+        monkeypatch.delenv("FLICKER_TORCH_DEEPSTEM", raising=False)
+        assert torch_pack_factor((2, 4, 16, 16, 3), fn) == 2
+
+        video = jnp.asarray(rng.integers(0, 256, (2, 4, 16, 16, 3), dtype=np.uint8))
+        delta = jnp.asarray(rng.uniform(-0.1, 0.1, (4, 1, 1, 3)).astype(np.float32))
+        mean, std = (0.43, 0.39, 0.37), (0.22, 0.22, 0.21)
+
+        def loss(d, factor):
+            out = apply_torch_flicker_packed(
+                video, d, jnp.float32(1.0), jnp.float32(0.2),
+                mean, std, -2.0, 3.0, jnp.float32, factor,
+            )
+            return jnp.sum(out**2)
+
+        g2 = jax.grad(lambda d: loss(d, 2))(delta)
+        g4 = jax.grad(lambda d: loss(d, 4))(delta)
+        np.testing.assert_allclose(
+            np.asarray(g4), np.asarray(g2), rtol=1e-5, atol=1e-5
+        )
