@@ -112,6 +112,29 @@ def step_cost_analysis(engine, batch):
     return flops, bytes_accessed
 
 
+def stem_pallas_flops_correction(batch, size=224):
+    """Analytic FLOPs of the Pallas im2col stem conv, invisible to XLA's
+    cost model (it cannot see inside custom-calls).  Added to the published
+    flops_per_step so the MFU stays honest when the kernel is the default
+    stem (ops/stem_conv_pallas.py: one [4*Cout, 16*Cin] x [16*Cin, L] dot
+    per output position).  Returns 0 when the kernel cannot be active."""
+    from flickering_adversarial_video_tpu.ops.stem_conv_pallas import (
+        eligible,
+        gate_on,
+    )
+
+    b, t = batch["video"].shape[:2] if "video" in batch else (8, 64)
+    if "video_view" in batch:
+        b, t = 8, 64  # headline view geometry (pack_batch_view_np input)
+    h = w = size // 2
+    lanes = b * (t // 2)
+    if not gate_on() or jax.default_backend() != "tpu":
+        return 0.0
+    if not eligible((h, w, 24, lanes), (4, 4, 4, 24, 64), b):
+        return 0.0
+    return 2.0 * h * w * lanes * (16 * 24) * (4 * 64)
+
+
 def time_optimized(engine, batch, steps=STEPS, warmup=WARMUP, chunk=10):
     """Device-work-only timing: steps run as lax.scan chains of `chunk`
     (engine.train_steps), symmetric with the baseline's chained protocol.
@@ -402,6 +425,7 @@ def main():
         else:
             headline_batch = batch
         flops, bytes_accessed = step_cost_analysis(engine, headline_batch)
+        flops += stem_pallas_flops_correction(headline_batch)
         if flops:
             step_time = 1.0 / headline
             result["flops_per_step"] = round(flops)

@@ -141,6 +141,26 @@ def _bn_relu_view(y, mean, var, bias, eps):
     return jax.nn.relu(y)
 
 
+def stem_conv_bn_relu_view(xv, pk, mean, var, bias, b, eps=1e-3):
+    """The stem forward on the view: packed tap convs + temporal combine +
+    BN + relu, dispatched to the Pallas im2col kernel
+    (ops/stem_conv_pallas.py, FLICKER_STEM_PALLAS, TPU-only) or the XLA
+    tap-conv composition."""
+    from .stem_conv_pallas import (
+        eligible as _sp_ok,
+        gate_on as _sp_on,
+        stem_conv_bn_relu_view_pallas,
+    )
+
+    if (
+        _sp_on()
+        and jax.default_backend() == "tpu"
+        and _sp_ok(xv.shape, pk.shape, b)
+    ):
+        return stem_conv_bn_relu_view_pallas(xv, pk, mean, var, bias, b, eps)
+    return _bn_relu_view(_stem_fwd_view(xv, pk, b), mean, var, bias, eps)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def stem_bn_relu_tmajor(xv, pk, mean, var, bias, b, eps=1e-3):
     """Packed stem conv + frozen-BN + relu on the T-major view, as ONE
@@ -150,7 +170,7 @@ def stem_bn_relu_tmajor(xv, pk, mean, var, bias, b, eps=1e-3):
 
     xv: [H', W', Cin, T'*B] (t*B+b lanes); returns [H', W', Cout, T'*B].
     BN/kernel cotangents are ZERO (frozen victim)."""
-    return _bn_relu_view(_stem_fwd_view(xv, pk, b), mean, var, bias, eps)
+    return stem_conv_bn_relu_view(xv, pk, mean, var, bias, b, eps)
 
 
 def _res_y(y):
@@ -173,7 +193,7 @@ def _res_y(y):
 
 
 def _tmajor_fwd(xv, pk, mean, var, bias, b, eps):
-    y = _bn_relu_view(_stem_fwd_view(xv, pk, b), mean, var, bias, eps)
+    y = stem_conv_bn_relu_view(xv, pk, mean, var, bias, b, eps)
     return y, (pk, var, _res_y(y))
 
 
@@ -519,8 +539,8 @@ def _head_fwd_impl(
             # the residual to what the op declares: the 77 MB u8 mask,
             # already in the view.
             mask2T = lax.optimization_barrier(mask2T)
-    yv = _bn_relu_view(
-        _stem_fwd_view(advT, pk, b), bn_mean, bn_var, bn_bias, 1e-3
+    yv = stem_conv_bn_relu_view(
+        advT, pk, bn_mean, bn_var, bn_bias, b, 1e-3
     )
     res = (pk, bn_var, _res_y(yv), mask2T, dpk, adv_flag, delta_applied.shape, b)
     return yv.reshape(h, w, pk.shape[-1], t, b), res
@@ -642,8 +662,8 @@ def _head_view_fwd_impl(
     advT, mask2T = _view_emit(
         u8v, dpk, adv_flag, t, b, input_min, input_max, out_dtype
     )
-    yv = _bn_relu_view(
-        _stem_fwd_view(advT, pk, b), bn_mean, bn_var, bn_bias, 1e-3
+    yv = stem_conv_bn_relu_view(
+        advT, pk, bn_mean, bn_var, bn_bias, b, 1e-3
     )
     res = (pk, bn_var, _res_y(yv), mask2T, dpk, adv_flag, delta_applied.shape, b)
     return yv.reshape(h, w, pk.shape[-1], t, b), res
