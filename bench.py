@@ -93,46 +93,31 @@ def step_cost_analysis(engine, batch):
     Returns (flops_per_step, bytes_accessed) from the compiler's own cost
     model over the final optimized HLO — the falsifiable FLOP count behind
     the published MFU (VERDICT round 2 item 1): mfu = flops / time / peak.
-    """
+
+    Both numbers are CUSTOM-CALL-INCLUSIVE: HloCostAnalysis reports nothing
+    for custom-call ops, so the default step's Pallas kernels (im2col stem,
+    S1V/strided view pools) each `record()` their analytic FLOPs and HBM
+    traffic at trace time (ops/accounting.py, halo-fetch redundancy
+    included), and the tally is added here (VERDICT r4 item 5)."""
     from flickering_adversarial_video_tpu.engine import RuntimeFlags
+    from flickering_adversarial_video_tpu.ops import accounting
 
     flags = RuntimeFlags()
     state = engine.init_state()
     dev_batch = {k: jax.device_put(v) for k, v in batch.items()}
     # lower through the engine's OWN jit instance (same donation config ->
     # identical program, shared persistent-cache entry with the timed loop)
-    compiled = engine._train_step.lower(
-        state, dev_batch, flags, jax.random.key(0)
-    ).compile()
+    with accounting.recording() as tally:
+        lowered = engine._train_step.lower(
+            state, dev_batch, flags, jax.random.key(0)
+        )
+    compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
-    flops = float(ca.get("flops", 0.0))
-    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    flops = float(ca.get("flops", 0.0)) + tally.flops
+    bytes_accessed = float(ca.get("bytes accessed", 0.0)) + tally.hbm_bytes
     return flops, bytes_accessed
-
-
-def stem_pallas_flops_correction(batch, size=224):
-    """Analytic FLOPs of the Pallas im2col stem conv, invisible to XLA's
-    cost model (it cannot see inside custom-calls).  Added to the published
-    flops_per_step so the MFU stays honest when the kernel is the default
-    stem (ops/stem_conv_pallas.py: one [4*Cout, 16*Cin] x [16*Cin, L] dot
-    per output position).  Returns 0 when the kernel cannot be active."""
-    from flickering_adversarial_video_tpu.ops.stem_conv_pallas import (
-        eligible,
-        gate_on,
-    )
-
-    b, t = batch["video"].shape[:2] if "video" in batch else (8, 64)
-    if "video_view" in batch:
-        b, t = 8, 64  # headline view geometry (pack_batch_view_np input)
-    h = w = size // 2
-    lanes = b * (t // 2)
-    if not gate_on() or jax.default_backend() != "tpu":
-        return 0.0
-    if not eligible((h, w, 24, lanes), (4, 4, 4, 24, 64), b):
-        return 0.0
-    return 2.0 * h * w * lanes * (16 * 24) * (4 * 64)
 
 
 def time_optimized(engine, batch, steps=STEPS, warmup=WARMUP, chunk=10):
@@ -425,7 +410,6 @@ def main():
         else:
             headline_batch = batch
         flops, bytes_accessed = step_cost_analysis(engine, headline_batch)
-        flops += stem_pallas_flops_correction(headline_batch)
         if flops:
             step_time = 1.0 / headline
             result["flops_per_step"] = round(flops)
@@ -436,6 +420,9 @@ def main():
                 result["hbm_util_pct"] = round(
                     bytes_accessed / step_time / 819e9 * 100, 2
                 )
+            # flops_per_step / hbm_bytes_per_step include analytic accounting
+            # of every Pallas custom call in the step (ops/accounting.py)
+            result["cost_model"] = "custom-call-inclusive"
     except Exception as e:
         result["cost_analysis_error"] = repr(e)[:120]
 

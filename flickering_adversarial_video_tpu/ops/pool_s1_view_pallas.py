@@ -323,6 +323,16 @@ def _fwd_impl(xv, b, interpret):
     h, w, c, n = xv.shape
     hb, ct = _pick_blocks(h, w, c, n, xv.dtype.itemsize)
     grid = (h // hb, c // ct)
+    if not interpret:
+        from .accounting import record
+
+        isz = xv.dtype.itemsize
+        # reads: main block + 2 halo rows per grid cell; writes: y once
+        record(
+            f"s1v_fwd_{h}x{w}x{c}",
+            hbm_bytes=(h // hb) * (hb + 2) * w * c * n * isz
+            + h * w * c * n * isz,
+        )
 
     def main_map(i, j):
         return (i, 0, j, 0)
@@ -352,6 +362,17 @@ def _bwd_impl(xv, dy, b, interpret):
     h, w, c, n = xv.shape
     hb, ct = _pick_blocks(h, w, c, n, xv.dtype.itemsize)
     grid = (h // hb, c // ct)
+    if not interpret:
+        from .accounting import record
+
+        isz = xv.dtype.itemsize
+        # reads: x main + 4 halo rows, dy main + 2 halo rows; writes: dx once
+        record(
+            f"s1v_bwd_{h}x{w}x{c}",
+            hbm_bytes=(h // hb) * (hb + 4) * w * c * n * isz
+            + (h // hb) * (hb + 2) * w * c * n * dy.dtype.itemsize
+            + h * w * c * n * dy.dtype.itemsize,
+        )
 
     def main_map(i, j):
         return (i, 0, j, 0)

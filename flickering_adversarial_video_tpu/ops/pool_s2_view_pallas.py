@@ -238,6 +238,21 @@ def s2_pool_view_bwd_pallas(xv, dy, interpret: bool = False):
     hb, ct = _pick_blocks(h, w, c, n, xv.dtype.itemsize)
     grid = (h // 2 // hb, c // ct)
 
+    if not interpret:
+        from .accounting import record
+
+        isz = xv.dtype.itemsize
+        cells = h // 2 // hb
+        # x: 2hb main + 3 halo rows per cell; dy: hb main + 1 halo; dx once
+        record(
+            f"s2v_bwd_{h}x{w}x{c}",
+            hbm_bytes=(
+                cells * (2 * hb + 3) * w * c * n * isz
+                + cells * (hb + 1) * (w // 2) * c * n * dy.dtype.itemsize
+                + h * w * c * n * dy.dtype.itemsize
+            ),
+        )
+
     def main_x(i, j):
         return (i, 0, j, 0)
 

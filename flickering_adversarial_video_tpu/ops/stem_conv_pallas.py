@@ -184,6 +184,23 @@ def stem_conv_bn_relu_view_pallas(
     ).reshape(cout, 1)
     bias_c = bias.astype(jnp.float32).reshape(cout, 1)
 
+    if not interpret:
+        from .accounting import record
+
+        itemsize = xv.dtype.itemsize
+        # per grid cell: hb main rows + 3 single halo rows of x; kmat and
+        # the BN vectors have constant (whole-array) blocks -> fetched once
+        record(
+            "stem_im2col_fwd",
+            flops=2.0 * h * w * n * (16 * cin) * (4 * cout),
+            hbm_bytes=(
+                (h // hb) * (hb + 3) * w * cin * n * itemsize  # x + halo
+                + h * w * cout * n * itemsize  # y
+                + 4 * cout * 16 * cin * itemsize  # kmat
+                + 3 * cout * 4  # BN f32 vectors
+            ),
+        )
+
     def main_map(i):
         return (i, 0, 0, 0)
 

@@ -724,6 +724,21 @@ def _pool_view_fwd_impl(xv, interpret, block):
     ho, wo = h // 2, w // 2
     hb, wb = block or _pick_hw_blocks(ho, wo, c, n, xv.dtype.itemsize)
 
+    if not interpret:
+        from .accounting import record
+
+        isz = xv.dtype.itemsize
+        # main blocks tile x exactly; per grid cell one halo row, one halo
+        # column and one corner element; y written once
+        record(
+            f"s2pool_view_fwd_{h}x{w}x{c}",
+            hbm_bytes=(
+                h * w * c * n * isz
+                + (ho // hb) * (wo // wb) * (2 * wb + 2 * hb + 1) * c * n * isz
+                + ho * wo * c * n * isz
+            ),
+        )
+
     yt = pl.pallas_call(
         _strided_fwd_kernel,
         grid=(ho // hb, wo // wb),
