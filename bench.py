@@ -172,7 +172,9 @@ def build_i3d_geometry_engine(variables, compute_dtype, frames):
 
 def build_r2plus1d_engine(compute_dtype, frames=16, size=112):
     """Torch-world secondary benchmark: r2plus1d_18 universal-attack step
-    (r2plus1d_main_universal_attack.py:130-149 geometry, batch 16)."""
+    (r2plus1d_main_universal_attack.py:130-149 geometry, batch 16).
+    Returns (engine, variables) — the variables are f32 and shared with the
+    naive f32 replay model of time_torch_reference_protocol."""
     from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
     from flickering_adversarial_video_tpu.engine import AttackConfig, AttackEngine
     from flickering_adversarial_video_tpu.models.video_resnet import (
@@ -188,7 +190,7 @@ def build_r2plus1d_engine(compute_dtype, frames=16, size=112):
     cfg = AttackConfig(
         norm_world="meanstd", reg_weighting="torch", learning_rate=1e-3
     )
-    return AttackEngine(
+    engine = AttackEngine(
         model.apply,
         variables,
         spec,
@@ -196,6 +198,103 @@ def build_r2plus1d_engine(compute_dtype, frames=16, size=112):
         track_probs=False,
         apply_packed_fn=make_packed_apply_fn("r2plus1d_18", 400, compute_dtype),
     )
+    return engine, variables
+
+
+def time_torch_reference_protocol(variables, batch, frames=16, size=112):
+    """DataParallel-era torch universal-attack step replayed on the same
+    chip (the falsifiable denominator behind torch_vs_baseline — VERDICT r4
+    item 1).  Per step, the reference runs a clean no-grad forward, an
+    adversarial forward, backward over delta only, and an Adam step, all
+    f32 (utils_cv/action_recognition/model.py:697-737), with the
+    mean/std-normalized batch fed by DataLoader workers each step.
+
+    Protocol mirror of `time_reference_protocol` (the I3D denominator):
+      * naive f32 r2plus1d_18 — plain XLA lowering, none of this
+        framework's packed/kernel paths;
+      * TWO compiled calls per step (the clean forward is separate from
+        the train call, as the reference's two model invocations are);
+      * batch DEVICE-RESIDENT and the calls chained fetch-free —
+        conservative in the baseline's favor on a tunneled chip (its
+        DataLoader feed + per-step metric fetches are ~free on local
+        PCIe but ~35 ms RTT here);
+      * Perturbation math per model.py:80-101: clamp delta to +-max_norm,
+        /std, add, scalar clamp to the normalized-pixel range; improved
+        hinge loss on probs + torch-weighted flickering regularizer
+        (beta1*thinness + (1-beta1)*(diff+laplacian), model.py:198-209).
+    """
+    import optax
+
+    from flickering_adversarial_video_tpu.attack import TorchStyleFlickerSpec
+    from flickering_adversarial_video_tpu.models.video_resnet import r2plus1d_18
+
+    spec = TorchStyleFlickerSpec(frames=frames, max_norm=0.1)
+    model = r2plus1d_18(compute_dtype=jnp.float32)
+    mean = np.asarray(spec.mean, np.float32)
+    std = np.asarray(spec.std, np.float32)
+    min_v, max_v = spec.clamp_range
+    opt = optax.adam(1e-3)
+    beta1 = 0.1
+
+    @jax.jit
+    def train_call(delta, video, labels, opt_state):
+        def loss_fn(d):
+            dc = jnp.clip(d, -spec.max_norm, spec.max_norm) / jnp.asarray(
+                std, jnp.float32
+            )
+            adv = jnp.clip(video + dc[None], min_v, max_v)
+            logits = model.apply(variables, adv)
+            probs = jax.nn.softmax(logits)
+            one_hot = jax.nn.one_hot(labels, 400)
+            label_prob = jnp.sum(probs * one_hot, -1)
+            max_other = jnp.max(probs - one_hot, -1)
+            gap = label_prob - (max_other - 0.05)
+            adv_loss = jnp.mean(jnp.maximum(0, jnp.minimum(gap**2 / 0.05, gap)))
+            thin = jnp.mean(d**2)
+            diff = jnp.mean((d - jnp.roll(d, 1, 0)) ** 2)
+            lap = jnp.mean((-2 * d + jnp.roll(d, 1, 0) + jnp.roll(d, -1, 0)) ** 2)
+            reg = beta1 * thin + (1 - beta1) * (diff + lap)
+            return adv_loss + reg
+
+        loss, g = jax.value_and_grad(loss_fn)(delta)
+        updates, opt_state = opt.update(g, opt_state, delta)
+        return optax.apply_updates(delta, updates), opt_state, loss
+
+    @jax.jit
+    def clean_fwd(video):
+        return model.apply(variables, video)
+
+    video_norm = (
+        np.asarray(batch["video"], np.float32) / 255.0 - mean
+    ) / std
+    video = jax.device_put(video_norm)
+    labels = jax.device_put(batch["labels"])
+    delta = jnp.zeros(spec.shape, jnp.float32)
+    opt_state = opt.init(delta)
+
+    @jax.jit
+    def chain_zero(logits_c):
+        # keeps the unread clean-forward execution from being elided by the
+        # axon runtime (same trick as the I3D protocol's fetch chain)
+        return 0.0 * logits_c.ravel()[0]
+
+    def one_step(delta, opt_state):
+        logits_c = clean_fwd(video)  # model.py:697-699 (no_grad)
+        delta, opt_state, loss = train_call(delta, video, labels, opt_state)
+        delta = delta + chain_zero(logits_c)
+        return delta, opt_state, loss
+
+    delta, opt_state, _ = one_step(delta, opt_state)  # warmup/compiles
+    _ = float(delta.reshape(-1)[0])
+    best = 0.0
+    for _trial in range(2):
+        ref_steps = 8
+        t0 = time.perf_counter()
+        for _ in range(ref_steps):
+            delta, opt_state, _ = one_step(delta, opt_state)
+        _ = float(delta.reshape(-1)[0])
+        best = max(best, ref_steps / (time.perf_counter() - t0))
+    return best
 
 
 def time_reference_protocol(model, variables, batch, feed_per_step=False):
@@ -508,14 +607,39 @@ def main():
     try:
         if over_budget("r2plus1d"):
             raise TimeoutError("bench time budget")
-        r2_engine = build_r2plus1d_engine(jnp.bfloat16)
+        r2_engine, r2_variables = build_r2plus1d_engine(jnp.bfloat16)
         r2_batch = {
             "video": rng.integers(0, 255, (16, 16, 112, 112, 3), dtype=np.uint8),
             "labels": rng.integers(0, 400, (16,), dtype=np.int64),
         }
-        result["r2plus1d_18_T16_B16_steps_per_s"] = round(
-            time_optimized(r2_engine, r2_batch, steps=30), 3
-        )
+        r2_rate = time_optimized(r2_engine, r2_batch, steps=30)
+        result["r2plus1d_18_T16_B16_steps_per_s"] = round(r2_rate, 3)
+        # the torch world gets the same falsifiability treatment as I3D
+        # (VERDICT r4 item 1): a same-chip torch-reference-protocol
+        # denominator + custom-call-inclusive MFU/HBM from the cost model
+        try:
+            if over_budget("torch_baseline"):
+                raise TimeoutError("bench time budget")
+            torch_baseline = time_torch_reference_protocol(r2_variables, r2_batch)
+            result["torch_baseline_steps_per_s"] = round(torch_baseline, 3)
+            result["torch_vs_baseline"] = round(r2_rate / torch_baseline, 2)
+        except Exception as e:
+            result["torch_baseline_error"] = repr(e)[:120]
+        try:
+            r2_flops, r2_bytes = step_cost_analysis(r2_engine, r2_batch)
+            if r2_flops:
+                r2_time = 1.0 / r2_rate
+                result["torch_flops_per_step"] = round(r2_flops)
+                result["torch_mfu_pct"] = round(
+                    r2_flops / r2_time / V5E_PEAK_FLOPS * 100, 2
+                )
+            if r2_bytes:
+                result["torch_hbm_bytes_per_step"] = round(r2_bytes)
+                result["torch_hbm_util_pct"] = round(
+                    r2_bytes / (1.0 / r2_rate) / 819e9 * 100, 2
+                )
+        except Exception as e:
+            result["torch_cost_analysis_error"] = repr(e)[:120]
     except Exception as e:
         result["r2plus1d_18_T16_B16_error"] = repr(e)[:120]
     # The reference's ACTUAL per-sess.run host->device f32 feed costs ~10 min

@@ -14,7 +14,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from flickering_adversarial_video_tpu.attack import FlickerSpec, TorchStyleFlickerSpec
+from flickering_adversarial_video_tpu.attack import (
+    FlickerSpec,
+    SparseSpec,
+    TorchStyleFlickerSpec,
+)
 from flickering_adversarial_video_tpu.engine import (
     AttackConfig,
     AttackEngine,
@@ -196,6 +200,80 @@ class TestMeshParity:
         np.testing.assert_allclose(
             float(s_metrics["total_loss"]), float(m_metrics["total_loss"]), rtol=1e-5
         )
+
+    def test_torch_meanstd_world_mesh_parity(self, rng):
+        """The torch/meanstd attack graph on the mesh (VERDICT r4 item 2a):
+        TorchStyleFlickerSpec with its scalar clamp-range quirk, torch reg
+        weighting, the OneCycle-style per-step learning rate and the dynamic
+        max_norm escalation (model.py:1061-1066) all threaded through
+        RuntimeFlags — the sharded step must reproduce the single-device
+        delta trajectory and loss exactly as the tanh world does."""
+        from flickering_adversarial_video_tpu.engine.epoch_fit import one_cycle_lr
+
+        apply_fn, variables = linear_victim()
+        spec = TorchStyleFlickerSpec(frames=6, max_norm=0.2)
+        cfg = AttackConfig(norm_world="meanstd", reg_weighting="torch")
+        batch = make_batch(rng, b=8)
+        single = AttackEngine(apply_fn, variables, spec, cfg)
+        multi = AttackEngine(apply_fn, variables, spec, cfg, mesh=make_mesh())
+        s_state = single.init_state(jax.random.key(1))
+        m_state = multi.init_state(jax.random.key(1))
+        m_batch = multi.shard(batch)
+        for i in range(4):
+            flags = RuntimeFlags(
+                learning_rate=one_cycle_lr(1e-3, i + 1, 4),
+                max_norm=0.2 * (1.3 ** (i // 2)),  # dynamic escalation
+            )
+            k = jax.random.key(i)
+            s_state, s_metrics = single.train_step(s_state, batch, flags, k)
+            m_state, m_metrics = multi.train_step(m_state, m_batch, flags, k)
+        np.testing.assert_allclose(
+            np.asarray(s_state.delta), np.asarray(m_state.delta), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(s_metrics["total_loss"]),
+            float(m_metrics["total_loss"]),
+            rtol=1e-5,
+        )
+        assert float(jnp.abs(s_state.delta).max()) > 0
+
+    def test_sparse_l12_mesh_parity(self, rng):
+        """The L1,2 sparse variant on the mesh (VERDICT r4 item 2b).
+
+        Sharding decision, asserted here: the full [T, H, W, 3] delta is
+        REPLICATED over the data mesh — it is the trained quantity (the
+        model), the batch axis is the only sharded axis, and its gradient
+        is psum-reduced exactly like the flickering delta's.  The sharded
+        trajectory must match single-device."""
+        apply_fn, variables = linear_victim()
+        spec = SparseSpec(frames=6, height=8, width=8)
+        cfg = AttackConfig(attack_kind="sparse")
+        batch = make_batch(rng, b=8)
+        single = AttackEngine(apply_fn, variables, spec, cfg)
+        multi = AttackEngine(apply_fn, variables, spec, cfg, mesh=make_mesh())
+        s_state = single.init_state()
+        m_state = multi.init_state()
+        # assert the decided placement: delta replicated on every device
+        m_sharding = m_state.delta.sharding
+        assert m_sharding.is_fully_replicated, (
+            f"sparse delta must be replicated over the data mesh, got "
+            f"{m_sharding}"
+        )
+        m_batch = multi.shard(batch)
+        flags = RuntimeFlags(beta1=0.5)
+        for i in range(3):
+            k = jax.random.key(i)
+            s_state, s_metrics = single.train_step(s_state, batch, flags, k)
+            m_state, m_metrics = multi.train_step(m_state, m_batch, flags, k)
+        np.testing.assert_allclose(
+            np.asarray(s_state.delta), np.asarray(m_state.delta), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(s_metrics["total_loss"]),
+            float(m_metrics["total_loss"]),
+            rtol=1e-5,
+        )
+        assert s_state.delta.shape == spec.shape
 
     def test_sharded_eval_counts(self, rng):
         apply_fn, variables = linear_victim()
