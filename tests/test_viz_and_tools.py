@@ -231,6 +231,74 @@ class TestDownloaderOffline:
         s = summarize_report(str(rp))
         assert s == {"ok": 1, "unavailable": 1, "timeout": 1, "other": 1}
 
+    def test_vendored_annotation_samples(self):
+        """Every manifest entry has a vendored 100-row sample with the
+        reference CSV schema (data/kinetics/data/*.csv: label, youtube_id,
+        time_start, time_end, split), so the downloader runs from in-repo
+        assets (VERDICT r4 item 6)."""
+        from flickering_adversarial_video_tpu.data.kinetics_download import (
+            ANNOTATION_MANIFEST,
+            annotation_sample_path,
+            read_kinetics_csv,
+        )
+
+        assert set(ANNOTATION_MANIFEST) == {
+            "kinetics-400_val",
+            "kinetics-400_test",
+            "kinetics-600_val",
+            "kinetics-600_test",
+        }
+        for name, entry in ANNOTATION_MANIFEST.items():
+            assert len(entry["sha256"]) == 64
+            assert str(entry["url"]).startswith("https://")
+            rows = read_kinetics_csv(annotation_sample_path(name))
+            assert len(rows) == 100
+            # kinetics-600_test is the unlabeled test split (no label col)
+            keys = ("youtube_id", "time_start", "time_end", "split")
+            if name != "kinetics-600_test":
+                keys += ("label",)
+            for key in keys:
+                assert key in rows[0], (name, key)
+            float(rows[0]["time_start"]); float(rows[0]["time_end"])
+
+    def test_resolve_annotation_prefers_verified_full_csv(self, tmp_path):
+        from flickering_adversarial_video_tpu.data.kinetics_download import (
+            annotation_sample_path,
+            resolve_annotation_csv,
+        )
+
+        name = "kinetics-400_val"
+        # no search dir -> vendored sample
+        assert resolve_annotation_csv(name) == annotation_sample_path(name)
+        # a full CSV with the WRONG checksum is ignored (sample wins)
+        bad = tmp_path / f"{name}.csv"
+        bad.write_text("label,youtube_id,time_start,time_end,split\n")
+        assert (
+            resolve_annotation_csv(name, str(tmp_path))
+            == annotation_sample_path(name)
+        )
+        with pytest.raises(FileNotFoundError):
+            resolve_annotation_csv("not-a-manifest-name")
+
+    def test_downloader_runs_from_vendored_sample_to_ytdlp_boundary(
+        self, tmp_path, monkeypatch
+    ):
+        """End-to-end from in-repo assets: the downloader consumes the
+        vendored sample and reaches the yt-dlp/ffmpeg boundary (absent
+        binaries -> every row reported 'missing yt-dlp/ffmpeg', report
+        written, summary classifies them)."""
+        from flickering_adversarial_video_tpu.data import kinetics_download as kd
+
+        monkeypatch.setattr(kd, "_downloader_binary", lambda: None)
+        out = tmp_path / "out"
+        report = kd.download_dataset(
+            kd.resolve_annotation_csv("kinetics-400_val"), str(out), limit=5
+        )
+        assert len(report) == 5
+        assert all(v == "missing yt-dlp/ffmpeg" for v in report.values())
+        s = kd.summarize_report(str(out / "download_report.json"))
+        assert s == {"missing tools": 5}
+
 
 class TestVerifiedNpySet:
     def test_build_verified_set(self, rng, tmp_path):
