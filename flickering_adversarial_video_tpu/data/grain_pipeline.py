@@ -81,11 +81,17 @@ def grain_batches(
     worker_count: int = 0,
     drop_remainder: bool = True,
 ):
-    """grain DataLoader yielding attack-loop batches.
+    """grain DataLoader yielding attack-loop batches (ONE-SHOT loader).
 
     worker_count > 0 decodes records in parallel child processes (the
     DataLoader's own workers — the reference's num_workers=16 DataLoader
     role, common/gpu.py:57-67).
+
+    NOTE: building one of these per epoch re-spawns the workers each time
+    (~10 s x workers of jax re-import; measured as ~12 MB/s on short
+    epochs, PERF.md round 2).  For epoch-cadenced training use
+    `GrainEpochLoader` (persistent workers, exact epoch boundaries); for
+    the step-driven universal attack use `grain_stream`.
 
     Sharp edge (learned the hard way): grain shards the index across workers
     and each worker batches its shard INDEPENDENTLY — with
@@ -123,6 +129,94 @@ def grain_batches(
     )
     for batch in loader:
         yield {"video": batch["video"], "labels": batch["label"]}
+
+
+class GrainEpochLoader:
+    """Persistent-worker EPOCH-mode grain pipeline — the pairing for
+    `engine.epoch_fit.fit_universal_epochs` (VERDICT r4 item 7: the epoch
+    path a torch migrant reaches for must meet the throughput budget, not
+    just the stream path).
+
+    ONE DataLoader (workers spawned once, amortized over the whole fit)
+    over `epochs` sampler epochs, with NO in-worker Batch operation: grain's
+    deterministic round-robin reconstructs the sampler's exact global order
+    in the parent (worker w holds positions w, w+W, ... and the parent reads
+    them back round-robin), so epoch boundaries are EXACT — record at global
+    position p belongs to epoch p // N.  In-worker batching (grain_batches /
+    grain_stream) instead batches each worker's stride-W subsequence, which
+    is why those are stream-semantics APIs.  Parent-side batching is one
+    np.stack per batch — memcpy-cheap next to the workers' parallel decode
+    (measured in tests/test_host_pipeline_throughput.py::
+    test_grain_epoch_loader_meets_budget).
+
+    Usage:
+        loader = GrainEpochLoader(shards, batch_size=8, epochs=E)
+        fit_universal_epochs(engine, loader.epoch_batches, valid_fn, ...)
+    """
+
+    def __init__(
+        self,
+        shards: Sequence[str],
+        batch_size: int,
+        *,
+        epochs: int,
+        frames: Optional[int] = None,
+        height: int = 224,
+        width: int = 224,
+        shuffle: bool = True,
+        seed: int = 0,
+        worker_count: int = 4,
+        drop_remainder: bool = True,
+    ):
+        import grain.python as gp
+
+        source = TFRecordRandomAccessSource(shards, frames, height, width)
+        self.records_per_epoch = len(source)
+        self.batch_size = batch_size
+        self.drop_remainder = drop_remainder
+        self.epochs = epochs
+        self.epochs_consumed = 0
+        sampler = gp.IndexSampler(
+            num_records=len(source),
+            shard_options=gp.NoSharding(),
+            shuffle=shuffle,
+            num_epochs=epochs,
+            seed=seed,
+        )
+        self._it = iter(
+            gp.DataLoader(
+                data_source=source,
+                sampler=sampler,
+                operations=[],
+                worker_count=worker_count,
+            )
+        )
+
+    def epoch_batches(self):
+        """Yield exactly one epoch's batches (N records, exact boundary)."""
+        if self.epochs_consumed >= self.epochs:
+            raise RuntimeError(
+                f"GrainEpochLoader exhausted: {self.epochs} epochs consumed "
+                "(construct with a larger `epochs`)"
+            )
+        self.epochs_consumed += 1
+        buf_v: List[np.ndarray] = []
+        buf_l: List[np.int64] = []
+        for _ in range(self.records_per_epoch):
+            rec = next(self._it)
+            buf_v.append(rec["video"])
+            buf_l.append(rec["label"])
+            if len(buf_v) == self.batch_size:
+                yield {
+                    "video": np.stack(buf_v),
+                    "labels": np.asarray(buf_l, np.int64),
+                }
+                buf_v, buf_l = [], []
+        if buf_v and not self.drop_remainder:
+            yield {
+                "video": np.stack(buf_v),
+                "labels": np.asarray(buf_l, np.int64),
+            }
 
 
 def grain_stream(

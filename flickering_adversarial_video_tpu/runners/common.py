@@ -125,7 +125,8 @@ def infer_num_classes(variables, model_name: str, default: Optional[int] = None)
     try:
         params = variables["params"]
         if model_name == "i3d":
-            kernel = params["Logits"]["conv3d"]["kernel"]
+            # models/i3d.py head module path (the bias is [num_classes])
+            kernel = params["Logits/Conv3d_0c_1x1"]["conv_3d"]["kernel"]
         else:
             kernel = params["fc"]["kernel"]
         return int(kernel.shape[-1])

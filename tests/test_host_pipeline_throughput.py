@@ -148,3 +148,44 @@ class TestHostPipelineThroughput:
             f"grain steady-state {mbps:.0f} MB/s < 200 MB/s budget "
             "(spawn-amortized; see grain_pipeline.grain_stream)"
         )
+
+    def test_grain_epoch_loader_meets_budget(self, shard_set):
+        """GrainEpochLoader — the path `epoch_fit.fit_universal_epochs`
+        consumes via `loader.epoch_batches` — must sustain >= 200 MB/s
+        spawn-amortized (VERDICT r4 item 7: the round-4 suite only budgeted
+        the stream path; the epoch path was the documented-slow one).
+
+        Epoch 1 untimed (worker spawn + page cache); epochs 2-3 timed.
+        Unlike grain_stream, epoch boundaries here are exact, so the timed
+        region is exactly two full epochs of records."""
+        pytest.importorskip("grain")
+        from flickering_adversarial_video_tpu.data.grain_pipeline import (
+            GrainEpochLoader,
+        )
+
+        paths, total_bytes = shard_set
+        loader = GrainEpochLoader(
+            paths, batch_size=8, epochs=3, shuffle=False, worker_count=4,
+            drop_remainder=False,
+        )
+        seen_warm = 0
+        for b in loader.epoch_batches():  # epoch 1: spawn + warm, untimed
+            assert b["video"].dtype == np.uint8
+            seen_warm += b["video"].nbytes
+        assert seen_warm * 1.03 >= total_bytes * 0.97
+        t0 = time.perf_counter()
+        steady = 0
+        for _ in range(2):
+            for b in loader.epoch_batches():
+                steady += b["video"].nbytes
+        dt = time.perf_counter() - t0
+        mbps = steady / dt / 1e6
+        print(
+            f"\ngrain epoch-loader steady-state worker_count=4: "
+            f"{mbps:.0f} MB/s over {steady/1e6:.0f} MB"
+        )
+        assert steady >= 2 * seen_warm  # two exact epochs
+        assert mbps >= 200.0, (
+            f"grain epoch path {mbps:.0f} MB/s < 200 MB/s budget "
+            "(see grain_pipeline.GrainEpochLoader)"
+        )

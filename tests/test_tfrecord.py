@@ -238,3 +238,52 @@ class TestGrainPipeline:
         order2 = [int(l) for b in grain_batches([p], 2, height=6, width=6, seed=3) for l in b["labels"]]
         assert order1 == order2
         assert sorted(order1) == list(range(8))
+
+    def test_grain_epoch_loader_exact_epochs(self, rng, tmp_path):
+        """GrainEpochLoader (the epoch_fit pairing, VERDICT r4 item 7):
+        persistent workers, EXACT epoch boundaries — every epoch_batches()
+        call yields each record exactly once, per-epoch shuffle orders
+        differ, the loader errors past its epoch budget, and worker_count
+        does not change the sequence (grain's deterministic round-robin
+        reconstructs the sampler's global order in the parent)."""
+        pytest.importorskip("grain")
+        from flickering_adversarial_video_tpu.data.grain_pipeline import (
+            GrainEpochLoader,
+        )
+
+        p = str(tmp_path / "ge.tfrecords")
+        n = 9
+        with TFRecordWriter(p) as w:
+            for i in range(n):
+                w.write(make_uint8_example(random_clip(rng, t=2), i))
+
+        def epoch_labels(loader):
+            return [
+                int(l) for b in loader.epoch_batches() for l in b["labels"]
+            ]
+
+        loader = GrainEpochLoader(
+            [p], 2, epochs=2, height=6, width=6, seed=5, worker_count=0,
+            drop_remainder=False,
+        )
+        e1 = epoch_labels(loader)
+        e2 = epoch_labels(loader)
+        assert sorted(e1) == list(range(n))
+        assert sorted(e2) == list(range(n))
+        assert e1 != e2  # per-epoch reshuffle
+        with pytest.raises(RuntimeError, match="exhausted"):
+            next(loader.epoch_batches())
+
+        # drop_remainder=True drops the 9th record's partial batch
+        loader_dr = GrainEpochLoader(
+            [p], 2, epochs=1, height=6, width=6, seed=5, worker_count=0
+        )
+        assert len(epoch_labels(loader_dr)) == 8
+
+        # multi-worker run reproduces the worker_count=0 sequence exactly
+        loader_w = GrainEpochLoader(
+            [p], 2, epochs=2, height=6, width=6, seed=5, worker_count=2,
+            drop_remainder=False,
+        )
+        assert epoch_labels(loader_w) == e1
+        assert epoch_labels(loader_w) == e2
