@@ -100,7 +100,11 @@ def main(argv=None):
         weights_file = args.out or args.ckpt
         if not str(weights_file).endswith(".msgpack"):
             p.error("--dump-golden needs msgpack weights (pass --out too)")
-        num_classes = 600 if args.eval_type == "rgb600" else None
+        # head width from the checkpoint itself (the registry default would
+        # mis-build ig65m's 359/487-way or rgb600's 600-way heads)
+        from ..runners.common import infer_num_classes
+
+        num_classes = infer_num_classes(variables, args.model)
         payload = dump_golden(
             args.model, variables, args.dump_golden, weights_file,
             num_classes=num_classes,

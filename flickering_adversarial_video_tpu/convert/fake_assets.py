@@ -34,11 +34,16 @@ _SONNET_STAT_LAYOUT = (1, 1, 1, 1)  # moving stats are [1,1,1,1,C] in the ckpt
 # ---------------- I3D: Flax tree -> TF1 Saver checkpoint ----------------
 
 
-def i3d_var_map(variables) -> Dict[str, np.ndarray]:
+def i3d_var_map(variables, bare_names: bool = False) -> Dict[str, np.ndarray]:
     """Invert convert/tf_i3d.py's name mapping: emit the reference-checkpoint
     variable names (`RGB/inception_i3d/<module>/{w,b,beta,moving_*}`) holding
-    the tree's actual values, so the converted tree round-trips exactly."""
+    the tree's actual values, so the converted tree round-trips exactly.
+
+    bare_names=True emits the Kinetics-600 checkpoints' PREFIX-LESS names —
+    the reference strips `RGB/inception_i3d/` from its variable map for
+    eval_type='rgb600' (kinetics_i3d_utils.py:47-56)."""
     var_map: Dict[str, np.ndarray] = {}
+    prefix = "" if bare_names else "RGB/inception_i3d/"
 
     def visit(collection, tree, path):
         for k, v in tree.items():
@@ -57,7 +62,7 @@ def i3d_var_map(variables) -> Dict[str, np.ndarray]:
             value = np.asarray(v, np.float32)
             if name in ("moving_mean", "moving_variance"):
                 value = value.reshape(_SONNET_STAT_LAYOUT + value.shape)
-            var_map[f"RGB/inception_i3d/{module}/{name}"] = value
+            var_map[f"{prefix}{module}/{name}"] = value
 
     visit("params", variables["params"], [])
     visit("batch_stats", variables["batch_stats"], [])
@@ -65,9 +70,16 @@ def i3d_var_map(variables) -> Dict[str, np.ndarray]:
 
 
 def write_i3d_saver_checkpoint(
-    ckpt_prefix: str, num_classes: int = 400, seed: int = 0, variables=None
+    ckpt_prefix: str,
+    num_classes: int = 400,
+    seed: int = 0,
+    variables=None,
+    eval_type: str = "rgb",
 ) -> str:
-    """Random-weight DeepMind-layout TF checkpoint at `ckpt_prefix`."""
+    """Random-weight DeepMind-layout TF checkpoint at `ckpt_prefix`.
+
+    eval_type='rgb600' writes the Kinetics-600 layout: prefix-less variable
+    names (kinetics_i3d_utils.py:47-56), conventionally a 600-way head."""
     import jax
     import tensorflow as tf
 
@@ -77,7 +89,7 @@ def write_i3d_saver_checkpoint(
         variables = init_i3d_params(
             jax.random.key(seed), num_classes=num_classes, frames=16, size=224
         )
-    var_map = i3d_var_map(variables)
+    var_map = i3d_var_map(variables, bare_names=eval_type == "rgb600")
     os.makedirs(os.path.dirname(ckpt_prefix), exist_ok=True)
     g = tf.Graph()
     with g.as_default():
@@ -298,9 +310,32 @@ def fabricate(
         os.path.join(data_dir, "checkpoints", "rgb_imagenet", "model.ckpt"),
         variables=variables,
     )
+    # Kinetics-600 I3D: prefix-less Saver layout, 600-way head (reference
+    # eval_type='rgb600', kinetics_i3d_utils.py:47-56).  Init at a tiny
+    # geometry — conv/BN variable shapes are geometry-independent.
+    out["i3d_rgb600_ckpt"] = write_i3d_saver_checkpoint(
+        os.path.join(data_dir, "checkpoints", "rgb_scratch_kin600", "model.ckpt"),
+        variables=init_i3d_params(
+            jax.random.key(1), num_classes=600, frames=8, size=64
+        ),
+        eval_type="rgb600",
+    )
     for variant in torch_variants:
         out[variant] = write_torchvision_pth(
             os.path.join(data_dir, f"{variant}.pth"), variant
+        )
+    # ig65m r2plus1d_34 heads (torch.hub moabitcoin/ig65m-pytorch via the
+    # reference's MODELS table, model.py:47-52): 32-frame/359-way and
+    # 8-frame/487-way state_dicts
+    for name, ncls in (
+        ("r2plus1d_34_32_ig65m", 359),
+        ("r2plus1d_34_8_ig65m", 487),
+    ):
+        out[name] = write_torchvision_pth(
+            os.path.join(data_dir, f"{name}.pth"),
+            "r2plus1d_34",
+            num_classes=ncls,
+            seed=ncls,
         )
     # clean-prediction labeling: the SAME model construction the runner uses
     # (runners/common.build_victim -> create_model), f32 so argmaxes carry

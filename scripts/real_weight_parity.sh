@@ -53,6 +53,16 @@ $CONVERT i3d "$DATA_DIR/checkpoints/rgb_imagenet/model.ckpt" \
     --out "$GOLD/i3d_kinetics400.msgpack" \
     --dump-golden "$GOLD/i3d_kinetics400.npz"
 
+# Kinetics-600 I3D: prefix-less variable names + 600-way head (the
+# reference's eval_type='rgb600' restore, kinetics_i3d_utils.py:47-56).
+# Unconditional — the one egress day must pin EVERY converter family
+# (VERDICT r4 item 4); a missing download fails loudly here.
+echo "== convert + golden: I3D rgb600 (Kinetics-600 layout) =="
+$CONVERT i3d "$DATA_DIR/checkpoints/rgb_scratch_kin600/model.ckpt" \
+    --eval-type rgb600 \
+    --out "$GOLD/i3d_kinetics600.msgpack" \
+    --dump-golden "$GOLD/i3d_kinetics600.npz"
+
 for m in r3d_18 mc3_18 r2plus1d_18; do
   if [ -f "$DATA_DIR/$m.pth" ]; then
     echo "== convert + golden: $m (torchvision layout) =="
@@ -60,6 +70,16 @@ for m in r3d_18 mc3_18 r2plus1d_18; do
         --out "$GOLD/$m.msgpack" \
         --dump-golden "$GOLD/$m.npz"
   fi
+done
+
+# ig65m r2plus1d_34 heads (torch.hub moabitcoin/ig65m-pytorch; the
+# reference's MODELS table model.py:47-52: 32-frame/359-way,
+# 8-frame/487-way).  Unconditional, same rationale as rgb600.
+for ig in r2plus1d_34_32_ig65m r2plus1d_34_8_ig65m; do
+  echo "== convert + golden: $ig (r2plus1d_34) =="
+  $CONVERT r2plus1d_34 "$DATA_DIR/$ig.pth" \
+      --out "$GOLD/$ig.msgpack" \
+      --dump-golden "$GOLD/$ig.npz"
 done
 
 echo "== golden verification (the permanent test; must NOT skip) =="

