@@ -31,7 +31,7 @@ def capture_r2plus1d(outdir: str, steps: int, frames: int, size: int, batch: int
 
     import jax.numpy as jnp
 
-    engine = build_r2plus1d_engine(jnp.bfloat16, frames=frames, size=size)
+    engine, _variables = build_r2plus1d_engine(jnp.bfloat16, frames=frames, size=size)
     flags = RuntimeFlags(max_norm=0.1)
     state = engine.init_state()
     rng = np.random.default_rng(0)
