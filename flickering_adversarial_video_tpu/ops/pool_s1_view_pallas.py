@@ -138,10 +138,12 @@ def _f32(x):
 
 
 def _fwd_kernel(x_ref, xt_ref, xb_ref, o_ref, *, b, h, hb):
-    i = pl.program_id(0)
-    r0 = i * hb - 1
+    # No SAME-pad row mask needed for VALUES: the halo specs clamp at the
+    # array edge, so an out-of-range halo row duplicates a real row already
+    # inside every window it joins — max(x, x, ...) == max(x, -inf, ...).
+    # (The backward's first-match ROUTING still needs true -inf pads; only
+    # the forward drops the mask.)  Round-5 VPU-work trim.
     xe = jnp.concatenate([xt_ref[...], x_ref[...], xb_ref[...]], axis=0)
-    xe = _mask_rows(xe, r0, h, -jnp.inf)            # rows r0 .. r0+hb+1
     m_w = _max_w(xe)
     # m_hw[m] = max(m_w[m], m_w[m+1], m_w[m+2]) -> global row r0+1+m = i*hb+m
     m_hw = jnp.maximum(jnp.maximum(m_w[:hb], m_w[1 : hb + 1]), m_w[2 : hb + 2])
@@ -166,24 +168,31 @@ def _bwd_kernel(
     dy_ref, dyt_ref, dyb_ref, o_ref, *, b, h, hb,
 ):
     i = pl.program_id(0)
-    r0 = i * hb  # first output row of this block
     neg = -jnp.inf
 
-    # x rows r0-2 .. r0+hb+1
-    xe = jnp.concatenate(
-        [xt2_ref[...], xt1_ref[...], x_ref[...], xb1_ref[...], xb2_ref[...]],
-        axis=0,
-    )
-    xe = _mask_rows(xe, r0 - 2, h, neg)
+    # x rows r0-2 .. r0+hb+1, in f32 (ONE upcast; f32 embeds bf16 exactly,
+    # so every downstream max/compare is bit-identical to the old per-use
+    # casts — round-5 VPU-work trim).  Halo rows masked by SCALAR block
+    # predicates: rows r0-2/r0-1 are OOB only at the first block, rows
+    # r0+hb/r0+hb+1 only at the last (hb >= 2 from _pick_blocks).
+    r0 = i * hb
+    fill = jnp.full(xt2_ref.shape, neg, jnp.float32)
+    top2 = jnp.where(r0 - 2 < 0, fill, _f32(xt2_ref[...]))
+    top1 = jnp.where(r0 - 1 < 0, fill, _f32(xt1_ref[...]))
+    bot1 = jnp.where(r0 + hb > h - 1, fill, _f32(xb1_ref[...]))
+    bot2 = jnp.where(r0 + hb + 1 > h - 1, fill, _f32(xb2_ref[...]))
+    xe = jnp.concatenate([top2, top1, _f32(x_ref[...]), bot1, bot2], axis=0)
     m_w = _max_w(xe)                                  # rows r0-2 .. r0+hb+1
     # m_hw rows r0-1 .. r0+hb  (index j -> global r0-1+j, j = 0..hb+1)
     m_hw = jnp.maximum(
         jnp.maximum(m_w[: hb + 2], m_w[1 : hb + 3]), m_w[2 : hb + 4]
     )
 
-    # dy rows r0-1 .. r0+hb, out-of-range rows contribute zero gradient
-    dye = jnp.concatenate([dyt_ref[...], dy_ref[...], dyb_ref[...]], axis=0)
-    dye = _mask_rows(dye, r0 - 1, h, 0.0)
+    # dy rows r0-1 .. r0+hb; the halo rows contribute zero gradient OOB
+    dy_fill = jnp.zeros(dyt_ref.shape, dy_ref.dtype)
+    dyt = jnp.where(r0 - 1 < 0, dy_fill, dyt_ref[...])
+    dyb = jnp.where(r0 + hb > h - 1, dy_fill, dyb_ref[...])
+    dye = jnp.concatenate([dyt, dy_ref[...], dyb], axis=0)
 
     # ---- T routing: window t-1, t, t+1 in ascending order --------------
     # (matches _route_axis on the 5-D T' dim: dx[t] = sum_k contrib_k[t+1-k],
@@ -193,7 +202,7 @@ def _bwd_kernel(
     # bit), and no explicit lane edge masks are needed: the shifts fill
     # past-the-edge lanes with -inf, which can never equal the finite
     # pooled maximum.
-    m_hw_f = _f32(m_hw)
+    m_hw_f = m_hw  # already f32 (single upcast at xe)
     cands = [_shift_t_f32(m_hw_f, s, b, neg) for s in (-1, 0, 1)]
     yf = jnp.maximum(jnp.maximum(cands[0], cands[1]), cands[2])
     gt = None
@@ -212,7 +221,7 @@ def _bwd_kernel(
     # cand_k at pooled row j (global r0-1+j) is m_w[j+k] (global r0-2+j+k);
     # first-match over ascending k; source-row gradient
     # g_w[m] = sum_k contrib_k[m + 2 - k]  (m = 0..hb-1, global row r0+m).
-    m_w_f = _f32(m_w)
+    m_w_f = m_w  # already f32
     taken = None
     contribs = []
     for k in range(3):
@@ -228,8 +237,8 @@ def _bwd_kernel(
     )
 
     # ---- W routing: in-row, window w-1, w, w+1 ascending ----------------
-    xc = _f32(xe[2 : hb + 2])                         # source rows r0..r0+hb-1
-    pw = _f32(m_w[2 : hb + 2])                        # pooled (same rows)
+    xc = xe[2 : hb + 2]                               # source rows (f32)
+    pw = m_w[2 : hb + 2]                        # pooled (same rows)
     taken = None
     acc = None
     for k in range(3):

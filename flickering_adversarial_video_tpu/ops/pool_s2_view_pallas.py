@@ -77,18 +77,27 @@ def _bwd_kernel(
       xe  rows 0..2hb+2  <-> global r0-2 .. r0+2hb
       m_w rows (same as xe)
       y / dye rows 0..hb <-> global output rows o0-1 .. o0+hb-1
-    """
+
+    VPU-work revision (round 5, the "~35% less to flip" candidate from the
+    round-4 A/B): ONE f32 upcast of the assembled xe (f32 represents every
+    bf16 exactly, so all downstream maxes/compares are bit-identical to the
+    per-use-cast spelling this replaces — 11 separate tensor casts gone),
+    and the SAME-pad row masks are scalar-predicated single-row selects on
+    the halo rows only (the main block rows are always in-bounds; the old
+    full-block iota mask paid compare+select over every element)."""
     i = pl.program_id(0)
     r0 = i * (2 * hb)
-    o0 = i * hb
-    ho = h // 2
+    nblocks = h // (2 * hb)
     neg = -jnp.inf
 
-    # ---- extended x: rows r0-2 .. r0+2hb, masked to SAME-pad -inf --------
-    xe = jnp.concatenate(
-        [xt2_ref[...], xt1_ref[...], x_ref[...], xb1_ref[...]], axis=0
-    )
-    xe = _mask_rows(xe, r0 - 2, h, neg)               # (2hb+3, W, ct, n)
+    # ---- extended x rows r0-2 .. r0+2hb in f32, halo rows masked by the
+    # scalar block predicate (top two rows invalid iff i == 0; the bottom
+    # halo row r0+2hb is the SAME pad exactly at the last block)
+    fill = jnp.full(xt2_ref.shape, neg, jnp.float32)
+    top2 = jnp.where(i == 0, fill, _f32(xt2_ref[...]))
+    top1 = jnp.where(i == 0, fill, _f32(xt1_ref[...]))
+    bot1 = jnp.where(i == nblocks - 1, fill, _f32(xb1_ref[...]))
+    xe = jnp.concatenate([top2, top1, _f32(x_ref[...]), bot1], axis=0)
 
     # ---- W-pooled rows: m_w[r, u] = max(x[r, 2u], x[r, 2u+1], x[r, 2u+2])
     rows, w = xe.shape[0], xe.shape[1]
@@ -97,7 +106,7 @@ def _bwd_kernel(
     ev, od = xp[:, :, 0], xp[:, :, 1]                 # cols 2u / 2u+1
     pad_col = jnp.full((rows, 1) + xe.shape[2:], neg, xe.dtype)
     ev_n = jnp.concatenate([ev[:, 1:], pad_col], axis=1)   # col 2u+2 (SAME pad)
-    m_w = jnp.maximum(jnp.maximum(ev, od), ev_n)      # (2hb+3, wo, ct, n)
+    m_w = jnp.maximum(jnp.maximum(ev, od), ev_n)      # (2hb+3, wo, ct, n) f32
 
     # ---- pooled outputs for rows o0-1 .. o0+hb-1 -------------------------
     # output j (global o0-1+j) covers m_w local rows 2j, 2j+1, 2j+2.
@@ -109,13 +118,14 @@ def _bwd_kernel(
     k2 = jnp.concatenate([k0[1:], m_w[2 * hb + 2 :]], axis=0)
     y = jnp.maximum(jnp.maximum(k0, k1), k2)
 
-    # ---- dy rows o0-1 .. o0+hb-1, OOB rows contribute zero ---------------
-    dye = jnp.concatenate([dyt_ref[...], dy_ref[...]], axis=0)
-    dye = _mask_rows(dye, o0 - 1, ho, 0.0)            # (hb+1, wo, ct, n)
+    # ---- dy rows o0-1 .. o0+hb-1; the top halo row is OOB iff i == 0 -----
+    dy_fill = jnp.zeros(dyt_ref.shape, dy_ref.dtype)
+    dyt = jnp.where(i == 0, dy_fill, dyt_ref[...])
+    dye = jnp.concatenate([dyt, dy_ref[...]], axis=0)  # (hb+1, wo, ct, n)
 
     # ---- H routing: first-match over window rows k = 0, 1, 2 -------------
-    yf = _f32(y)
-    cands = (_f32(k0), _f32(k1), _f32(k2))
+    yf = y
+    cands = (k0, k1, k2)
     taken = None
     gh = []
     for k in range(3):
@@ -137,11 +147,11 @@ def _bwd_kernel(
         return a[2 : 2 * hb + 2].reshape(hb, 2, *a.shape[1:])
 
     ev_p, od_p, ev_n_p = rows_par(ev), rows_par(od), rows_par(ev_n)
-    xc_e = _f32(ev_p[:, 0])                           # block even rows
-    xc_o = _f32(od_p[:, 0])
-    xc_n = _f32(ev_n_p[:, 0])
+    xc_e = ev_p[:, 0]                                 # block even rows (f32)
+    xc_o = od_p[:, 0]
+    xc_n = ev_n_p[:, 0]
     pw_par = rows_par(m_w)                            # (hb, 2, wo, ...)
-    pw_e, pw_o = _f32(pw_par[:, 0]), _f32(pw_par[:, 1])
+    pw_e, pw_o = pw_par[:, 0], pw_par[:, 1]
 
     def route_w(g, pwr, ce, co, cn):
         """First-match over window cols k = 0, 1, 2; returns the dx
@@ -158,12 +168,7 @@ def _bwd_kernel(
 
     # even input rows use (xc at even block rows), matching pw even rows
     e_ev, e_od = route_w(g_even, pw_e, xc_e, xc_o, xc_n)
-    o_ev, o_od = route_w(
-        g_odd, pw_o,
-        _f32(ev_p[:, 1]),
-        _f32(od_p[:, 1]),
-        _f32(ev_n_p[:, 1]),
-    )
+    o_ev, o_od = route_w(g_odd, pw_o, ev_p[:, 1], od_p[:, 1], ev_n_p[:, 1])
 
     # ---- interleave parities back to the (2hb, W) block ------------------
     rows_even = jnp.stack([e_ev, e_od], axis=2).reshape(

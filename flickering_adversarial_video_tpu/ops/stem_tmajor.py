@@ -210,6 +210,18 @@ def _catbwd_lane_combine(g2, kt, b, t_plo, sp_bwd):
     spatial pads ((kh-1-pl, kh-1-ph), ...)."""
     n_taps, _, _, cin, _ = kt.shape
     part = _catbwd_part(g2, kt, sp_bwd)
+    from .stem_combine_pallas import catbwd_lane_combine_pallas
+    from .stem_combine_pallas import eligible as _cc_ok
+    from .stem_combine_pallas import gate_on as _cc_on
+
+    if (
+        _cc_on()
+        and jax.default_backend() == "tpu"
+        and _cc_ok(part.shape, cin, b)
+    ):
+        # one-pass Pallas combine (reads part once; the XLA pad/slice/add
+        # chain re-traverses it across 3 fusions — PERF.md round 5)
+        return catbwd_lane_combine_pallas(part, b, cin, t_plo)
     tb = part.shape[3]
     acc = None
     for m in range(n_taps):
