@@ -68,6 +68,7 @@ class TestFabricators:
             converted = convert_video_resnet_state_dict(sd, "r2plus1d_34")
             assert converted["params"]["fc"]["kernel"].shape == (512, nc)
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_i3d_rgb600_saver_checkpoint_roundtrip(self, tmp_path):
         """Fake Kinetics-600-layout ckpt (prefix-less names, 600-way head)
         feeds the real converter with eval_type='rgb600'

@@ -210,6 +210,7 @@ class TestPackedStem:
         lk, _ = packed.apply(variables, x)
         np.testing.assert_allclose(np.asarray(lp), np.asarray(lk), atol=2e-4)
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_odd_geometry_falls_back(self):
         model = InceptionI3D(num_classes=10, packed_stem=True)
         x = jnp.zeros((1, 9, 224, 224, 3))  # odd T

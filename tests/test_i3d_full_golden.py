@@ -85,6 +85,7 @@ def tf_i3d_forward(x, variables):
 
 
 @pytest.mark.parametrize("packed_stem", [True, False])
+@pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
 def test_full_forward_matches_tf(rng, packed_stem):
     frames, size, classes = 16, 224, 12
     variables = init_i3d_params(jax.random.key(0), num_classes=classes, frames=frames, size=size)
@@ -107,6 +108,7 @@ def test_full_forward_matches_tf(rng, packed_stem):
     )
 
 
+@pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
 def test_stem_input_gradient_matches_tf(rng):
     """Gradient golden through the packed stem (+BN+ReLU) vs tf.GradientTape.
 

@@ -104,6 +104,7 @@ class TestPackedApplyMath:
 
 
 class TestPrepackedI3D:
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_prepacked_model_matches_unpacked(self, rng):
         frames, size = 8, 16
         model = InceptionI3D(num_classes=11, compute_dtype=jnp.float32)
@@ -155,6 +156,7 @@ class TestEnginePackedPath:
         )
         return plain, packed
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_train_trajectory_matches_generic(self, rng):
         plain, packed = self._engines()
         batch = {
@@ -239,6 +241,7 @@ class TestTorchWorldPackedPath:
         )
         return plain, packed, spec
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_train_trajectory_matches_generic(self, rng):
         plain, packed, _ = self._engines()
         batch = {

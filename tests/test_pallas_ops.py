@@ -222,6 +222,7 @@ class TestStemConvFusedBwd:
             np.asarray(d_fused) / scale, np.asarray(d_auto) / scale, atol=1e-6
         )
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_engine_env_toggle(self, rng, monkeypatch):
         """FLICKER_STEM_BWD3D=1 swaps the stem inside the model; logits and
         the delta-gradient of a loss must match the default path."""
@@ -347,6 +348,7 @@ class TestStemFusedBN:
     separate stem-conv -> nn.BatchNorm -> relu chain in values and
     delta-gradient (FLICKER_STEM_FUSED_BN model toggle)."""
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_model_env_toggle(self, rng, monkeypatch):
         from flickering_adversarial_video_tpu.models.i3d import (
             InceptionI3D,
@@ -462,6 +464,7 @@ class TestConvS1OutpackGeneral:
         d1 = jax.grad(lambda q: jnp.sum(conv_s1_outpack(q, k) * g))(x)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-6)
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_r2plus1d_model_env_toggle(self, rng, monkeypatch):
         """FLICKER_RESNET_OUTPACK=1 swaps the eligible layer convs inside
         r2plus1d_18; logits and delta-gradient must match, parameter tree

@@ -127,6 +127,7 @@ class TestHostPacking:
 
 
 class TestEnginePrepacked:
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_prepacked_trajectory_matches_standard(self, rng):
         frames, size, k = 8, 16, 7
         model = InceptionI3D(num_classes=k, compute_dtype=jnp.float32)
@@ -177,6 +178,7 @@ class TestEnginePrepacked:
         assert int(e1["miss"]) == int(e2["miss"])
         assert int(e1["valid"]) == int(e2["valid"])
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_fused_stem_head_trajectory_matches(self, rng):
         """stem_head= (ops/packed_apply.flicker_stem_head): preprocess AND
         the stem conv+BN+relu fused into one custom-VJP op must reproduce the

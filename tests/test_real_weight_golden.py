@@ -45,6 +45,7 @@ class TestGoldenMachinery:
         c = canonical_clip("meanstd", 4, 8)
         assert c.shape == (1, 4, 8, 8, 3)
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_dump_then_verify_roundtrip(self, tmp_path, monkeypatch):
         # random "real" weights: dump a golden, then verify it end-to-end
         from flickering_adversarial_video_tpu.models.i3d import init_i3d_params

@@ -391,6 +391,7 @@ class TestBuildEngineConfigMapping:
         assert np.isfinite(np.asarray(probs)).all()
 
     @pytest.mark.parametrize("num_classes", [359, 487])
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_ig65m_end_to_end(self, rng, tmp_path, num_classes, capsys):
         """ig65m path e2e, mirroring test_rgb600_end_to_end: a synthetic
         torch.hub-layout r2plus1d_34 .pth with a 359/487-way head

@@ -165,6 +165,7 @@ class TestModelToggle:
 
 
 class TestMeshParityOutpack:
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_sharded_fused_step_matches_single_device(self, rng, monkeypatch):
         """The fused stem+pool path under the 8-device data mesh must produce
         the same delta trajectory as single-device (psum-over-ICI gradient of

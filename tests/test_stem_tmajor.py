@@ -270,6 +270,7 @@ class Test2bcExtension:
         )
         return m, variables, pack_input(x, axes=(1, 2, 3))
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_region_endpoints_and_grad_match_bmajor(self, rng, monkeypatch):
         m, variables, xp = self._setup(rng)
 
@@ -459,6 +460,7 @@ class TestViewDepth:
 
 
 class TestModelToggle:
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_model_env_toggle(self, rng, monkeypatch):
         """FLICKER_STEM_TMAJOR=1: logits, endpoint values and input-gradient
         parity with the default prepacked-stem path."""
@@ -707,6 +709,7 @@ class TestFusedTmajorHead:
 
 
 class TestMeshParityTmajor:
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_sharded_step_matches_single_device(self, rng, monkeypatch):
         """The T-major stem path under the 8-device data mesh must produce
         the same delta trajectory as single-device."""
@@ -933,6 +936,7 @@ class TestViewHead:
         np.testing.assert_array_equal(np.asarray(gv), np.asarray(gb))
         np.testing.assert_array_equal(float(fv), float(fb))
 
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_engine_view_batch_matches_prepacked(self, rng, monkeypatch):
         """AttackEngine driven by a 'video_view' batch: delta trajectory,
         losses, and fooling counters equal the 'video_packed' path (which

@@ -269,6 +269,7 @@ class TestTFWorldSingleVideo:
 
 
 class TestPackedPathVectorizes:
+    @pytest.mark.slow  # >45 s single-worker (round-5 durations); runs in the serial slow phase
     def test_i3d_packed_apply_under_vmap(self):
         """The packed-space custom-VJP apply (ops/packed_apply.py) must trace
         and run under the vmapped vector sweep — the TPU session's vector
