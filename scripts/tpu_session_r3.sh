@@ -105,7 +105,7 @@ r2_batch = {
 }
 for tag, env in (("default", "0"), ("resnet_outpack", "1")):
     os.environ["FLICKER_RESNET_OUTPACK"] = env
-    eng = bench.build_r2plus1d_engine(jnp.bfloat16)
+    eng, _vars = bench.build_r2plus1d_engine(jnp.bfloat16)
     r = bench.time_optimized(eng, r2_batch, steps=30)
     print(json.dumps({"tag": tag, "r2plus1d_18_T16_B16_steps_per_s": round(r, 3)}), flush=True)
 EOF
