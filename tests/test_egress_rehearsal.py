@@ -170,8 +170,9 @@ def test_real_weight_parity_rehearsal(tmp_path):
         assert os.path.exists(os.path.join(gold, name)), name
 
     # the golden-test stage must have run the real-weight parametrization
-    # (4 goldens) with no skips: pytest -q prints "N passed" with no
-    # "skipped" on that summary line
+    # (7 goldens: i3d rgb+rgb600, r3d/mc3/r2plus1d_18, both ig65m heads)
+    # with no skips: pytest -q prints "N passed" with no "skipped" on that
+    # summary line
     lines = [
         l for l in proc.stdout.splitlines() if " passed" in l and "==" not in l
     ]
