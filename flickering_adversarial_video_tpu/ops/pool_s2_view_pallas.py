@@ -192,9 +192,16 @@ _PARAMS = pltpu.CompilerParams(
 
 def _pick_blocks(h, w, c, n, itemsize):
     """(hb output rows per block, ct channel tile): keep the padded xe block
-    (~(2hb+3) full-W rows) under ~8 MB — the f32 temporaries roughly triple
-    the live set and v5e has 128 MB VMEM."""
-    budget = 8 * 2**20
+    (~(2hb+3) full-W rows) under the budget — the f32 temporaries roughly
+    triple the live set and v5e has 128 MB VMEM.  FLICKER_S2V_BLOCK_MB
+    overrides for re-measurement (round-5 A/B: the v2 kernel's single-f32
+    xe doubles the live set vs the bf16-block sizing this budget assumed)."""
+    # round-5 chip A/B (headline, FLICKER_S2V_PALLAS=1): budget 8 MB ->
+    # 21.15 steps/s (-0.35 vs the s&s default), 4 MB -> 21.42 (parity),
+    # 16 MB -> tpu_compile_helper crash (the same Mosaic padded-block
+    # ceiling as S1V's >=7 MB).  The v2 kernel's single-f32 xe doubles the
+    # live set the old 8 MB sizing assumed — 4 MB is the measured best.
+    budget = float(os.environ.get("FLICKER_S2V_BLOCK_MB", "4")) * 2**20
     ho = h // 2
     best = None
     for hb in (8, 7, 4, 2, 1):
