@@ -85,8 +85,18 @@ class TestS2ViewRoutingBwd:
         )
 
     def test_eligibility_gate(self):
-        # the real strided view pools at T=64 B=8 (T''B=128 after pool4a)
-        assert eligible((112, 112, 64, 256))
+        # the real strided view pools at T=64 B=8 (T''B=128 after pool4a).
+        # At the default 4 MB block budget (the round-5 measured best, see
+        # _pick_blocks) the pool2a geometry no longer fits a block and
+        # falls back to select-and-scatter — by measurement the kernel's
+        # loss was concentrated exactly there; the old 8 MB budget restores
+        # it for re-A/B.
+        assert not eligible((112, 112, 64, 256))
+        import os
+        from unittest import mock
+
+        with mock.patch.dict(os.environ, {"FLICKER_S2V_BLOCK_MB": "8"}):
+            assert eligible((112, 112, 64, 256))
         assert eligible((56, 56, 192, 256))
         assert eligible((28, 28, 480, 128))
         # odd spatial extents (no strided view pool has them) are excluded
@@ -97,14 +107,23 @@ class TestS2ViewRoutingBwd:
         assert not eligible((112, 112, 100, 256))
 
     def test_block_picker_covers_real_geometries(self):
-        for h, w, c, n in [
-            (112, 112, 64, 256),
-            (56, 56, 192, 256),
-            (28, 28, 480, 128),
-        ]:
+        import os
+        from unittest import mock
+
+        # pool2a needs the 8 MB budget (see test_eligibility_gate); the
+        # smaller view-pool shapes fit the 4 MB default
+        with mock.patch.dict(os.environ, {"FLICKER_S2V_BLOCK_MB": "8"}):
+            for h, w, c, n in [
+                (112, 112, 64, 256),
+                (56, 56, 192, 256),
+                (28, 28, 480, 128),
+            ]:
+                hb, ct = _pick_blocks(h, w, c, n, 2)
+                assert (h // 2) % hb == 0 and c % ct == 0 and ct % 16 == 0
+                assert (2 * hb + 3) * w * ct * n * 2 <= 8 * 2**20
+        for h, w, c, n in [(56, 56, 192, 256), (28, 28, 480, 128)]:
             hb, ct = _pick_blocks(h, w, c, n, 2)
-            assert (h // 2) % hb == 0 and c % ct == 0 and ct % 16 == 0
-            assert (2 * hb + 3) * w * ct * n * 2 <= 8 * 2**20
+            assert (2 * hb + 3) * w * ct * n * 2 <= 4 * 2**20
 
     def test_off_gate_is_inert_on_cpu(self, rng, monkeypatch):
         """On CPU the VJP must keep the select-and-scatter reference even
