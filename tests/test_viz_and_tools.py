@@ -280,6 +280,51 @@ class TestDownloaderOffline:
         with pytest.raises(FileNotFoundError):
             resolve_annotation_csv("not-a-manifest-name")
 
+    def test_fetch_annotation_verifies_checksum(self, tmp_path, monkeypatch):
+        """fetch_annotation writes the payload and verifies it against the
+        manifest sha256 — a tampered payload must raise, a matching one
+        must return the path, and an already-valid file is not re-fetched."""
+        import hashlib
+        import io
+
+        from flickering_adversarial_video_tpu.data import kinetics_download as kd
+
+        name = "kinetics-400_val"
+        good = b"label,youtube_id,time_start,time_end,split\na,b,0,1,val\n"
+        entry = dict(kd.ANNOTATION_MANIFEST[name])
+        entry["sha256"] = hashlib.sha256(good).hexdigest()
+        monkeypatch.setitem(kd.ANNOTATION_MANIFEST, name, entry)
+
+        calls = []
+
+        class FakeResponse(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        def fake_urlopen(url, timeout=0):
+            calls.append(url)
+            return FakeResponse(good)
+
+        monkeypatch.setattr(
+            "urllib.request.urlopen", fake_urlopen
+        )
+        dest = kd.fetch_annotation(name, str(tmp_path))
+        assert dest.endswith(f"{name}.csv") and len(calls) == 1
+        # already-valid file: no second fetch
+        assert kd.fetch_annotation(name, str(tmp_path)) == dest
+        assert len(calls) == 1
+        # tampered payload -> checksum mismatch raises
+        monkeypatch.setattr(
+            "urllib.request.urlopen",
+            lambda url, timeout=0: FakeResponse(good + b"tampered"),
+        )
+        (tmp_path / f"{name}.csv").unlink()
+        with pytest.raises(ValueError, match="checksum mismatch"):
+            kd.fetch_annotation(name, str(tmp_path))
+
     def test_downloader_runs_from_vendored_sample_to_ytdlp_boundary(
         self, tmp_path, monkeypatch
     ):
